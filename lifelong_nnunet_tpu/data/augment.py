@@ -1,0 +1,251 @@
+"""Device-side data augmentation: a jitted replacement for batchgenerators'
+``get_moreDA_augmentation`` (SURVEY.md §2.8).
+
+The reference runs augmentation in CPU worker processes
+(``MultiThreadedAugmenter``); on TPU the same transforms run as one fused XLA
+program on-device, overlapping with the host sampler via prefetch.  Transform
+set and default probabilities mirror nnU-Net's moreDA config:
+
+  * spatial: per-sample rotation (p=0.2, ±30°) + scaling (p=0.2, 0.7–1.4),
+    trilinear resample for data / nearest for seg, constant padding
+    (data 0 / seg -1)
+  * mirroring along every axis (p=0.5 each)
+  * Gaussian noise (p=0.1), Gaussian blur (p=0.2, σ∈[0.5,1.0])
+  * multiplicative brightness (p=0.15, 0.75–1.25), contrast (p=0.15, 0.75–1.25)
+  * simulated low resolution (p=0.25, zoom ∈[0.5,1]) — via coordinate snapping
+  * gamma, inverted (p=0.1) and regular (p=0.3), range 0.7–1.5, retain stats
+
+Everything is shape-static: the low-res simulation snaps sampling coordinates
+instead of materializing a dynamically-shaped downsampled volume, and blur
+uses a fixed 7-tap separable kernel whose σ is traced.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    do_rotation: bool = True
+    p_rot: float = 0.2
+    rot_max: float = np.deg2rad(30.0)
+    do_scaling: bool = True
+    p_scale: float = 0.2
+    scale_range: tuple = (0.7, 1.4)
+    do_mirror: bool = True
+    mirror_axes: tuple = (0, 1, 2)
+    p_noise: float = 0.1
+    p_blur: float = 0.2
+    blur_sigma: tuple = (0.5, 1.0)
+    p_brightness: float = 0.15
+    p_contrast: float = 0.15
+    p_lowres: float = 0.25
+    p_gamma_inverted: float = 0.1
+    p_gamma: float = 0.3
+    gamma_range: tuple = (0.7, 1.5)
+
+
+NO_AUGMENT = AugmentConfig(do_rotation=False, do_scaling=False, do_mirror=False,
+                           p_noise=0.0, p_blur=0.0, p_brightness=0.0, p_contrast=0.0,
+                           p_lowres=0.0, p_gamma_inverted=0.0, p_gamma=0.0)
+
+
+def _rot_matrix_3d(angles):
+    ax, ay, az = angles[0], angles[1], angles[2]
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def _rot_matrix_2d(angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.array([[c, -s], [s, c]])
+
+
+def _gather_nd(vol, idx, dim):
+    """vol [*spatial, C], idx list of int arrays [*spatial] -> [*spatial, C]"""
+    return vol[tuple(idx)] if dim == 3 else vol[tuple(idx)]
+
+
+def sample_linear(vol, coords, cval=0.0):
+    """Multilinear sampling. vol: [*spatial, C]; coords: [dim, *spatial]
+    in voxel units.  Out-of-bounds -> cval."""
+    dim = coords.shape[0]
+    spatial = vol.shape[:dim]
+    lo = jnp.floor(coords).astype(jnp.int32)
+    frac = coords - lo
+    out = 0.0
+    inb = jnp.ones(coords.shape[1:], dtype=bool)
+    for a in range(dim):
+        inb &= (coords[a] >= 0) & (coords[a] <= spatial[a] - 1)
+    for corner in range(2 ** dim):
+        idx, w = [], 1.0
+        for a in range(dim):
+            bit = (corner >> a) & 1
+            ia = jnp.clip(lo[a] + bit, 0, spatial[a] - 1)
+            idx.append(ia)
+            w = w * jnp.where(bit, frac[a], 1.0 - frac[a])
+        out = out + w[..., None] * vol[tuple(idx)]
+    return jnp.where(inb[..., None], out, cval)
+
+
+def sample_nearest(vol, coords, cval=-1.0):
+    dim = coords.shape[0]
+    spatial = vol.shape[:dim]
+    ri = jnp.round(coords).astype(jnp.int32)
+    inb = jnp.ones(coords.shape[1:], dtype=bool)
+    for a in range(dim):
+        inb &= (ri[a] >= 0) & (ri[a] <= spatial[a] - 1)
+    idx = tuple(jnp.clip(ri[a], 0, spatial[a] - 1) for a in range(dim))
+    out = vol[idx]
+    return jnp.where(inb[..., None] if out.ndim > len(spatial) else inb, out, cval)
+
+
+def _base_grid(patch):
+    dim = len(patch)
+    axes = [jnp.arange(s, dtype=jnp.float32) for s in patch]
+    mesh = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack(mesh)  # [dim, *patch]
+
+
+def _spatial_coords(key, patch, cfg: AugmentConfig):
+    """Random affine sampling grid for one sample; returns [dim, *patch]."""
+    dim = len(patch)
+    grid = _base_grid(patch)
+    center = jnp.array([(s - 1) / 2.0 for s in patch]).reshape(dim, *([1] * dim))
+    g = grid - center
+    k_rot, k_rotp, k_scale, k_scalep = jax.random.split(key, 4)
+    if cfg.do_rotation:
+        if dim == 3:
+            angles = jax.random.uniform(k_rot, (3,), minval=-cfg.rot_max, maxval=cfg.rot_max)
+            rot = _rot_matrix_3d(angles)
+        else:
+            angle = jax.random.uniform(k_rot, (), minval=-cfg.rot_max, maxval=cfg.rot_max)
+            rot = _rot_matrix_2d(angle)
+        do = jax.random.uniform(k_rotp) < cfg.p_rot
+        rot = jnp.where(do, rot, jnp.eye(dim))
+        g = jnp.einsum("ij,j...->i...", rot, g)
+    if cfg.do_scaling:
+        sc = jax.random.uniform(k_scale, (), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
+        do = jax.random.uniform(k_scalep) < cfg.p_scale
+        # scale < 1 zooms IN (smaller sampled region); batchgenerators semantics
+        sc = jnp.where(do, sc, 1.0)
+        g = g * sc
+    return g + center
+
+
+def _gauss_kernel7(sigma):
+    x = jnp.arange(-3, 4, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / jnp.maximum(sigma, 1e-3)) ** 2)
+    return k / k.sum()
+
+
+def _blur(x, sigma, dim):
+    """Separable 7-tap Gaussian blur; x [*spatial, C]."""
+    k = _gauss_kernel7(sigma)
+    for a in range(dim):
+        xm = jnp.moveaxis(x, a, -2)              # [..., axis, C]
+        shape = xm.shape
+        flat = xm.reshape(-1, shape[-2], shape[-1])
+        flat = jnp.moveaxis(flat, -1, 1)         # [N, C, axis]
+        out = jax.vmap(lambda v: jnp.convolve(v, k, mode="same"))(flat.reshape(-1, shape[-2]))
+        flat = out.reshape(flat.shape)
+        xm = jnp.moveaxis(flat, 1, -1).reshape(shape)
+        x = jnp.moveaxis(xm, -2, a)
+    return x
+
+
+def _augment_one(key, data, seg, cfg: AugmentConfig):
+    """data [*patch, C] float32, seg [*patch] int8 -> same shapes."""
+    dim = data.ndim - 1
+    patch = data.shape[:dim]
+    keys = jax.random.split(key, 12)
+
+    # ---- spatial (rotation+scaling, one resample) ----
+    coords = _spatial_coords(keys[0], patch, cfg)
+    if cfg.do_rotation or cfg.do_scaling:
+        data = sample_linear(data, coords, cval=0.0)
+        seg = sample_nearest(seg.astype(jnp.float32), coords, cval=-1.0).astype(jnp.int8)
+
+    # ---- simulated low-res: snap coordinates to a coarser grid ----
+    if cfg.p_lowres > 0:
+        f = jax.random.uniform(keys[1], (), minval=1.0, maxval=2.0)  # zoom 0.5..1
+        do = jax.random.uniform(keys[2]) < cfg.p_lowres
+        f = jnp.where(do, f, 1.0)
+        base = _base_grid(patch)
+        snapped = jnp.floor(base / f) * f
+        data = jnp.where(do, sample_linear(data, snapped, cval=0.0), data)
+
+    # ---- noise ----
+    if cfg.p_noise > 0:
+        var = jax.random.uniform(keys[3], (), minval=0.0, maxval=0.1)
+        do = jax.random.uniform(keys[4]) < cfg.p_noise
+        noise = jax.random.normal(keys[5], data.shape) * jnp.sqrt(var)
+        data = jnp.where(do, data + noise, data)
+
+    # ---- blur ----
+    if cfg.p_blur > 0:
+        sigma = jax.random.uniform(keys[6], (), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
+        do = jax.random.uniform(keys[7]) < cfg.p_blur
+        data = jnp.where(do, _blur(data, sigma, dim), data)
+
+    # ---- brightness / contrast ----
+    if cfg.p_brightness > 0:
+        m = jax.random.uniform(keys[8], (), minval=0.75, maxval=1.25)
+        do = jax.random.uniform(keys[9]) < cfg.p_brightness
+        data = jnp.where(do, data * m, data)
+    if cfg.p_contrast > 0:
+        f = jax.random.uniform(keys[10], (), minval=0.75, maxval=1.25)
+        do = jax.random.uniform(keys[11]) < cfg.p_contrast
+        mean = data.mean(axis=tuple(range(dim)), keepdims=True)
+        mn = data.min(axis=tuple(range(dim)), keepdims=True)
+        mx = data.max(axis=tuple(range(dim)), keepdims=True)
+        dc = jnp.clip((data - mean) * f + mean, mn, mx)
+        data = jnp.where(do, dc, data)
+
+    # ---- gamma (inverted then regular), retain stats ----
+    kg = jax.random.split(keys[0], 6)
+    def gamma_tf(x, k1, k2, p, invert):
+        g = jax.random.uniform(k1, (), minval=cfg.gamma_range[0], maxval=cfg.gamma_range[1])
+        do = jax.random.uniform(k2) < p
+        mean = x.mean(); std = x.std()
+        mn = x.min(); rng_ = x.max() - mn + 1e-7
+        xn = (x - mn) / rng_
+        xn = jnp.where(invert, 1.0 - xn, xn)
+        xg = jnp.power(jnp.clip(xn, 1e-7, 1.0), g)
+        xg = jnp.where(invert, 1.0 - xg, xg)
+        xg = xg * rng_ + mn
+        xg = (xg - xg.mean()) / (xg.std() + 1e-7) * std + mean  # retain stats
+        return jnp.where(do, xg, x)
+    if cfg.p_gamma_inverted > 0:
+        data = gamma_tf(data, kg[0], kg[1], cfg.p_gamma_inverted, True)
+    if cfg.p_gamma > 0:
+        data = gamma_tf(data, kg[2], kg[3], cfg.p_gamma, False)
+
+    # ---- mirroring ----
+    if cfg.do_mirror:
+        km = jax.random.split(kg[4], dim)
+        for a in cfg.mirror_axes:
+            if a >= dim:
+                continue
+            do = jax.random.uniform(km[a]) < 0.5
+            data = jnp.where(do, jnp.flip(data, axis=a), data)
+            seg = jnp.where(do, jnp.flip(seg, axis=a), seg)
+    return data, seg
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def augment_batch(key, data, seg, cfg: AugmentConfig = AugmentConfig()):
+    """data [B, *patch, C] float32, seg [B, *patch] int8."""
+    keys = jax.random.split(key, data.shape[0])
+    return jax.vmap(lambda k, d, s: _augment_one(k, d, s, cfg))(keys, data, seg)

@@ -1,0 +1,57 @@
+"""Host→device input pipeline: background sampling + device prefetch.
+
+Replaces the reference's batchgenerators ``MultiThreadedAugmenter`` worker
+processes (SURVEY.md §2.7 "CPU pipeline parallelism").  The host thread only
+does memmap patch gathers (cheap); augmentation runs on-device
+(`augment.py`), so one background thread + a depth-2 device queue keeps the
+TPU fed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+import numpy as np
+
+
+class Prefetcher:
+    """Wraps an iterator of host batches; moves them to device ahead of time."""
+
+    def __init__(self, sampler, depth: int = 2, sharding=None):
+        self.sampler = sampler
+        self.sharding = sharding
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            batch = self.sampler.next_batch()
+            dev = {
+                "data": jax.device_put(batch["data"], self.sharding),
+                "seg": jax.device_put(batch["seg"], self.sharding),
+            }
+            while not self._stop.is_set():
+                try:
+                    self.q.put((dev, batch.get("keys")), timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def next(self):
+        dev, keys = self.q.get()
+        return dev, keys
+
+    def __next__(self):
+        return self.next()
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass

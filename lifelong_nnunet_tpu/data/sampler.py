@@ -1,0 +1,107 @@
+"""Foreground-oversampled patch sampling (host side).
+
+Replaces upstream ``DataLoader2D/3D`` (SURVEY.md §2.8): each batch draws
+random cases; a trailing fraction of samples (nnU-Net: 1/3) is forced to
+contain a random foreground class by centering the patch on a sampled class
+location.  Out-of-volume regions are padded (data 0, seg -1).
+
+Output layout is channels-last ``[B, *patch, C]`` (TPU-native; XLA conv
+prefers NDHWC) with seg ``[B, *patch]`` int8 — the device augmentation stage
+(`augment.py`) and the train step consume this directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .dataset import PreprocessedDataset
+
+
+class PatchSampler:
+    def __init__(self, dataset: PreprocessedDataset, cases: list[str], patch_size,
+                 batch_size: int, oversample_foreground_percent: float = 0.33,
+                 seed: int = 0):
+        assert len(cases) > 0, "empty case list"
+        self.ds = dataset
+        self.cases = list(cases)
+        self.patch_size = tuple(int(p) for p in patch_size)
+        self.dim = len(self.patch_size)
+        self.batch_size = int(batch_size)
+        self.oversample = oversample_foreground_percent
+        self.rng = np.random.RandomState(seed)
+
+    def _needs_fg(self, sample_idx: int) -> bool:
+        # nnU-Net rule: the LAST round(batch * oversample) samples are forced-fg
+        return sample_idx >= round(self.batch_size * (1 - self.oversample))
+
+    def _extract(self, case: str, force_fg: bool):
+        arr = self.ds.load(case)                      # [C+1, X, Y, Z] memmap
+        vol_shape = arr.shape[1:][: self.dim] if self.dim == 3 else arr.shape[1:3]
+        if self.dim == 2:
+            # 2D config: pick a random slice along the leading (coarsest) axis
+            z = self.rng.randint(arr.shape[1])
+            arr3 = arr[:, z]
+            return self._extract_nd(arr3, case, force_fg, slice_z=z)
+        return self._extract_nd(arr, case, force_fg)
+
+    def _extract_nd(self, arr, case: str, force_fg: bool, slice_z=None):
+        spatial = arr.shape[1:]
+        patch = self.patch_size
+        if force_fg:
+            locs = self.ds.class_locations(case)
+            classes = [c for c, v in locs.items() if len(v) > 0]
+            if classes:
+                cls = classes[self.rng.randint(len(classes))]
+                pts = locs[cls]
+                if slice_z is not None:
+                    on_slice = pts[pts[:, 0] == slice_z]
+                    pts = on_slice if len(on_slice) else pts
+                center_full = pts[self.rng.randint(len(pts))]
+                center = center_full[-len(patch):] if slice_z is not None else center_full
+                lo = [int(center[a]) - patch[a] // 2 for a in range(len(patch))]
+            else:
+                lo = [self.rng.randint(min(0, spatial[a] - patch[a]),
+                                       max(1, spatial[a] - patch[a] + 1))
+                      for a in range(len(patch))]
+        else:
+            lo = [self.rng.randint(min(0, spatial[a] - patch[a]),
+                                   max(1, spatial[a] - patch[a] + 1))
+                  for a in range(len(patch))]
+
+        # clamp so we never start beyond volume, allow negative (pad)
+        pad_before, pad_after, sl = [], [], []
+        for a in range(len(patch)):
+            start, stop = lo[a], lo[a] + patch[a]
+            pb = max(0, -start)
+            pa = max(0, stop - spatial[a])
+            pad_before.append(pb)
+            pad_after.append(pa)
+            sl.append(slice(max(0, start), min(spatial[a], stop)))
+        crop = np.asarray(arr[(slice(None),) + tuple(sl)])
+        pads = [(0, 0)] + [(pad_before[a], pad_after[a]) for a in range(len(patch))]
+        data = np.pad(crop[:-1], pads, mode="constant", constant_values=0.0)
+        seg = np.pad(crop[-1:], pads, mode="constant", constant_values=-1.0)
+        return data, seg[0]
+
+    def next_batch(self) -> dict:
+        n_mod = None
+        datas, segs, keys = [], [], []
+        for i in range(self.batch_size):
+            case = self.cases[self.rng.randint(len(self.cases))]
+            data, seg = self._extract(case, self._needs_fg(i))
+            if n_mod is None:
+                n_mod = data.shape[0]
+            datas.append(np.moveaxis(data, 0, -1))   # channels-last
+            segs.append(seg)
+            keys.append(case)
+        return {
+            "data": np.stack(datas).astype(np.float32),
+            "seg": np.stack(segs).astype(np.int8),
+            "keys": keys,
+        }
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self.next_batch()
