@@ -1,0 +1,194 @@
+"""Plans-driven generic U-Net (2D/3D) — TPU-native counterpart of the
+reference's ``Generic_UNet`` (upstream nnU-Net architecture; the reference's
+shim at ``nnunet_ext/network_architecture/generic_UNet.py:12-51`` only
+re-registers submodules in topological order for dot-path splitting — here
+topological order is structural: see MODULE_ORDER / `module_order`).
+
+Architecture (matches the upstream contract, SURVEY.md §2.8):
+  * encoder: per resolution stage, two conv→InstanceNorm→LeakyReLU(0.01)
+    blocks; downsampling via the first conv's stride (strided conv, no pools)
+  * features double per stage from ``base_num_features`` (32), capped at
+    ``max_num_features`` (320 for 3D / 512 for 2D)
+  * decoder: transpose-conv upsampling (kernel=stride=pool kernel), skip
+    concat, two conv blocks
+  * one 1×1 seg head per decoder stage → deep supervision outputs, returned
+    highest-resolution-first
+
+TPU-first choices:
+  * channels-last (NDHWC) layout — XLA's native conv layout on TPU
+  * ``dtype`` controls compute precision (bfloat16 on TPU); params and
+    InstanceNorm statistics stay float32
+  * everything is shape-static; the plans freeze patch geometry per task
+    family (reference invariant, ``model_restore.py:120-134``)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial dims (affine).
+    Stats computed in float32 regardless of compute dtype."""
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=spatial_axes, keepdims=True)
+        var = xf.var(axis=spatial_axes, keepdims=True)
+        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class ConvNormAct(nn.Module):
+    """conv → InstanceNorm → LeakyReLU(0.01): the upstream
+    ``ConvDropoutNormNonlin`` with dropout p=0 (nnU-Net default)."""
+    features: int
+    kernel: Sequence[int]
+    stride: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+    negative_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, kernel_size=tuple(self.kernel),
+            strides=tuple(self.stride), padding="SAME",
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+        x = InstanceNorm(dtype=self.dtype)(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class ConvStage(nn.Module):
+    """Two ConvNormAct blocks; the first may be strided (downsampling)."""
+    features: int
+    kernel: Sequence[int]
+    first_stride: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ones = (1,) * len(self.kernel)
+        x = ConvNormAct(self.features, self.kernel, self.first_stride, self.dtype,
+                        name="block0")(x)
+        x = ConvNormAct(self.features, self.kernel, ones, self.dtype,
+                        name="block1")(x)
+        return x
+
+
+class GenericUNet(nn.Module):
+    """Plans-driven U-Net. Top-level module names follow topological
+    (encoder→bottleneck→decoder→seg heads) order so multi-head splitting can
+    cut at any named point (models/multihead.py)."""
+    num_classes: int                 # INCLUDING background
+    pool_op_kernel_sizes: tuple      # ((2,2,2), ...) per downsampling
+    conv_kernel_sizes: tuple         # per stage, len = num_pool + 1
+    base_num_features: int = 32
+    max_num_features: int = 320
+    dtype: jnp.dtype = jnp.float32
+    deep_supervision: bool = True
+
+    @property
+    def num_pool(self):
+        return len(self.pool_op_kernel_sizes)
+
+    def stage_features(self, stage: int) -> int:
+        return int(min(self.base_num_features * (2 ** stage), self.max_num_features))
+
+    def module_order(self) -> list:
+        """Topological order of top-level submodules (the 'registration
+        order' the reference's shim establishes for dot-path splits)."""
+        order = [f"enc{s}" for s in range(self.num_pool)]
+        order.append("bottleneck")
+        for d in range(self.num_pool):
+            order += [f"up{d}", f"dec{d}"]
+        order += [f"seg{d}" for d in range(self.num_pool)]
+        return order
+
+    @nn.compact
+    def __call__(self, x, capture_taps: bool = False):
+        """x: [B, *spatial, C_in].  Returns list of deep-supervision logits,
+        highest resolution first (upstream convention), each
+        [B, *spatial_i, num_classes].  With ``capture_taps`` also returns a
+        dict of intermediate activations (for POD/PLOP distillation)."""
+        dim = x.ndim - 2
+        assert len(self.conv_kernel_sizes[0]) == dim, (
+            f"model is {len(self.conv_kernel_sizes[0])}D, input is {dim}D")
+        taps = {}
+        skips = []
+        h = x.astype(self.dtype)
+        # encoder
+        for s in range(self.num_pool):
+            stride = (1,) * dim if s == 0 else tuple(self.pool_op_kernel_sizes[s - 1])
+            h = ConvStage(self.stage_features(s), self.conv_kernel_sizes[s], stride,
+                          self.dtype, name=f"enc{s}")(h)
+            taps[f"enc{s}"] = h
+            skips.append(h)
+        # bottleneck
+        h = ConvStage(self.stage_features(self.num_pool),
+                      self.conv_kernel_sizes[self.num_pool],
+                      tuple(self.pool_op_kernel_sizes[-1]),
+                      self.dtype, name="bottleneck")(h)
+        taps["bottleneck"] = h
+        # decoder + seg heads
+        seg_outputs = []
+        for d in range(self.num_pool):
+            skip = skips[self.num_pool - 1 - d]
+            up_stride = tuple(self.pool_op_kernel_sizes[self.num_pool - 1 - d])
+            feats = skip.shape[-1]
+            h = nn.ConvTranspose(
+                feats, kernel_size=up_stride, strides=up_stride, padding="VALID",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.he_normal(), name=f"up{d}",
+            )(h)
+            h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
+            h = ConvStage(feats, self.conv_kernel_sizes[self.num_pool - 1 - d],
+                          (1,) * dim, self.dtype, name=f"dec{d}")(h)
+            taps[f"dec{d}"] = h
+            logits = nn.Conv(self.num_classes, kernel_size=(1,) * dim,
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             kernel_init=nn.initializers.he_normal(),
+                             name=f"seg{d}")(h)
+            seg_outputs.append(logits.astype(jnp.float32))
+        # highest resolution first
+        outputs = seg_outputs[::-1] if self.deep_supervision else [seg_outputs[-1]]
+        if capture_taps:
+            return outputs, taps
+        return outputs
+
+
+def unet_from_plans(plans, config_name: str, dtype=jnp.float32,
+                    deep_supervision: bool = True) -> GenericUNet:
+    cfg = plans.config(config_name)
+    return GenericUNet(
+        num_classes=plans.num_classes + 1,
+        pool_op_kernel_sizes=tuple(tuple(k) for k in cfg.pool_op_kernel_sizes),
+        conv_kernel_sizes=tuple(tuple(k) for k in cfg.conv_kernel_sizes),
+        base_num_features=cfg.base_num_features,
+        max_num_features=cfg.max_num_features,
+        dtype=dtype,
+        deep_supervision=deep_supervision,
+    )
+
+
+def ds_scale_factors(pool_op_kernel_sizes) -> list:
+    """Cumulative downsampling factor of each deep-supervision output,
+    highest resolution first: [1,1,1], pool[0], pool[0]*pool[1], ..."""
+    dim = len(pool_op_kernel_sizes[0])
+    factors = [np.ones(dim, dtype=np.int64)]
+    acc = np.ones(dim, dtype=np.int64)
+    for k in pool_op_kernel_sizes[:-1]:
+        acc = acc * np.array(k)
+        factors.append(acc.copy())
+    return [tuple(int(x) for x in f) for f in factors]
