@@ -18,12 +18,15 @@ from .dataset import PreprocessedDataset
 
 
 class PatchSampler:
-    def __init__(self, dataset: PreprocessedDataset, cases: list[str], patch_size,
+    def __init__(self, dataset: PreprocessedDataset | None, cases: list, patch_size,
                  batch_size: int, oversample_foreground_percent: float = 0.33,
                  seed: int = 0):
+        """``cases`` entries are either case-name strings (resolved against
+        ``dataset``) or explicit ``(PreprocessedDataset, case)`` pairs — the
+        latter lets Rehearsal-style trainers mix cases from several tasks'
+        stage directories into one pool."""
         assert len(cases) > 0, "empty case list"
-        self.ds = dataset
-        self.cases = list(cases)
+        self.items = [(dataset, c) if isinstance(c, str) else tuple(c) for c in cases]
         self.patch_size = tuple(int(p) for p in patch_size)
         self.dim = len(self.patch_size)
         self.batch_size = int(batch_size)
@@ -34,21 +37,20 @@ class PatchSampler:
         # nnU-Net rule: the LAST round(batch * oversample) samples are forced-fg
         return sample_idx >= round(self.batch_size * (1 - self.oversample))
 
-    def _extract(self, case: str, force_fg: bool):
-        arr = self.ds.load(case)                      # [C+1, X, Y, Z] memmap
-        vol_shape = arr.shape[1:][: self.dim] if self.dim == 3 else arr.shape[1:3]
+    def _extract(self, ds: PreprocessedDataset, case: str, force_fg: bool):
+        arr = ds.load(case)                           # [C+1, X, Y, Z] memmap
         if self.dim == 2:
             # 2D config: pick a random slice along the leading (coarsest) axis
             z = self.rng.randint(arr.shape[1])
             arr3 = arr[:, z]
-            return self._extract_nd(arr3, case, force_fg, slice_z=z)
-        return self._extract_nd(arr, case, force_fg)
+            return self._extract_nd(arr3, ds, case, force_fg, slice_z=z)
+        return self._extract_nd(arr, ds, case, force_fg)
 
-    def _extract_nd(self, arr, case: str, force_fg: bool, slice_z=None):
+    def _extract_nd(self, arr, ds, case: str, force_fg: bool, slice_z=None):
         spatial = arr.shape[1:]
         patch = self.patch_size
         if force_fg:
-            locs = self.ds.class_locations(case)
+            locs = ds.class_locations(case)
             classes = [c for c, v in locs.items() if len(v) > 0]
             if classes:
                 cls = classes[self.rng.randint(len(classes))]
@@ -87,8 +89,8 @@ class PatchSampler:
         n_mod = None
         datas, segs, keys = [], [], []
         for i in range(self.batch_size):
-            case = self.cases[self.rng.randint(len(self.cases))]
-            data, seg = self._extract(case, self._needs_fg(i))
+            ds, case = self.items[self.rng.randint(len(self.items))]
+            data, seg = self._extract(ds, case, self._needs_fg(i))
             if n_mod is None:
                 n_mod = data.shape[0]
             datas.append(np.moveaxis(data, 0, -1))   # channels-last

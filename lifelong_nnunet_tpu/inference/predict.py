@@ -1,0 +1,155 @@
+"""Image-in → segmentation-out prediction pipeline.
+
+Counterpart of the reference's ``nnunet_ext/inference/predict.py:117-401``
+(which forks upstream predict): per case — preprocess (crop/resample/
+normalize), Gaussian sliding-window softmax with TTA, undo resampling, undo
+crop, argmax, NIfTI export; optional multi-fold softmax ensembling and
+connected-component postprocessing.
+
+Host-side stages (preprocess / resample-back / export) run in a thread pool
+overlapping with device inference (the reference uses multiprocessing queues
++ an export pool; one process with threads is enough here since the heavy
+work is numpy/scipy which releases the GIL).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from scipy import ndimage
+
+from ..planning.fingerprint import crop_to_nonzero
+from ..planning.preprocess import normalize, resample_image
+from ..utilities.nifti import NiftiImage, read as nifti_read, write as nifti_write
+from .sliding_window import predict_sliding_window
+
+
+def preprocess_for_inference(image_files: list, plans, config_name: str):
+    """Load + crop + resample + normalize one case. Returns (data [*sp, C]
+    channels-last float32, props dict needed to undo)."""
+    imgs = [nifti_read(f) for f in image_files]
+    vols = []
+    for img in imgs:
+        d = np.asarray(img.data)
+        if d.ndim == 4:
+            vols.extend(d[..., c].astype(np.float32) for c in range(d.shape[3]))
+        else:
+            vols.append(d.astype(np.float32))
+    data = np.stack(vols, axis=0)
+    spacing = imgs[0].spacing
+    orig_shape = data.shape[1:]
+    data, _, bbox, mask = crop_to_nonzero(data, None)
+    cfg = plans.config(config_name)
+    target_spacing = np.array(cfg.spacing[-3:], dtype=np.float64)
+    data_r = resample_image(data, spacing, target_spacing, is_seg=False)
+    mask_r = resample_image(mask[None].astype(np.float32), spacing, target_spacing,
+                            is_seg=True)[0] > 0.5
+    data_n = normalize(data_r, plans, mask_r)
+    props = {
+        "original_shape": list(orig_shape),
+        "original_spacing": list(spacing),
+        "crop_bbox": [[b[0], b[1]] for b in bbox],
+        "cropped_shape": list(data.shape[1:]),
+        "resampled_shape": list(data_r.shape[1:]),
+        "affine": np.asarray(imgs[0].affine),
+    }
+    return np.moveaxis(data_n, 0, -1), props
+
+
+def restore_softmax(probs: np.ndarray, props: dict) -> np.ndarray:
+    """Resample class probabilities [*sp, K] back to the original cropped
+    shape, then re-embed into the original volume (undo crop).
+    Returns [*orig_shape, K]."""
+    cropped = tuple(props["cropped_shape"])
+    if probs.shape[:-1] != cropped:
+        zoom = np.array(cropped) / np.array(probs.shape[:-1])
+        chans = [ndimage.zoom(probs[..., k], zoom, order=1, mode="nearest")
+                 for k in range(probs.shape[-1])]
+        chans = [c[tuple(slice(0, s) for s in cropped)] for c in chans]
+        probs = np.stack(chans, axis=-1)
+    full = np.zeros(tuple(props["original_shape"]) + (probs.shape[-1],), np.float32)
+    full[..., 0] = 1.0  # outside crop = background
+    sl = tuple(slice(b[0], b[1]) for b in props["crop_bbox"])
+    full[sl] = probs
+    return full
+
+
+def remove_all_but_largest_component(seg: np.ndarray, labels=None) -> np.ndarray:
+    """Connected-component postprocessing (upstream ``load_remove_save``
+    equivalent): keep only the largest 3D component per given label."""
+    out = seg.copy()
+    labels = labels if labels is not None else [c for c in np.unique(seg) if c > 0]
+    for c in labels:
+        mask = seg == c
+        comp, n = ndimage.label(mask)
+        if n <= 1:
+            continue
+        sizes = ndimage.sum(mask, comp, range(1, n + 1))
+        keep = int(np.argmax(sizes)) + 1
+        out[mask & (comp != keep)] = 0
+    return out
+
+
+def predict_case(apply_fn, params_per_fold: list, image_files: list, plans,
+                 config_name: str, mirror_axes=(0, 1, 2), step_fraction=0.5,
+                 window_batch: int = 4, do_tta: bool = True,
+                 postprocess_labels=None):
+    """Predict one case, ensembling softmax over folds. Returns (seg uint8
+    [*orig_shape], softmax [*orig, K], props)."""
+    data, props = preprocess_for_inference(image_files, plans, config_name)
+    cfg = plans.config(config_name)
+    num_classes = plans.num_classes + 1
+    probs = None
+    for params in params_per_fold:
+        p = predict_sliding_window(
+            apply_fn, params, data, cfg.patch_size, num_classes,
+            mirror_axes=mirror_axes if do_tta else (),
+            step_fraction=step_fraction, window_batch=window_batch)
+        probs = p if probs is None else probs + p
+    probs /= len(params_per_fold)
+    full = restore_softmax(probs, props)
+    seg = np.argmax(full, axis=-1).astype(np.uint8)
+    if postprocess_labels is not None:
+        seg = remove_all_but_largest_component(seg, postprocess_labels)
+    return seg, full, props
+
+
+def export_segmentation(seg: np.ndarray, props: dict, out_file: str):
+    nifti_write(out_file, NiftiImage(seg.astype(np.uint8),
+                                     spacing=tuple(props["original_spacing"]),
+                                     affine=np.asarray(props["affine"])))
+
+
+def predict_from_folder(apply_fn, params_per_fold: list, plans, config_name: str,
+                        input_folder: str, output_folder: str,
+                        num_modalities: int | None = None, do_tta: bool = True,
+                        window_batch: int = 4, postprocess_labels=None,
+                        io_workers: int = 2) -> list:
+    """Predict every case in a folder of ``<case>_0000.nii.gz``-style images
+    (reference ``predict_from_folder``, ``inference/predict.py:324-401``).
+    Device inference overlaps with host preprocessing/export via threads."""
+    os.makedirs(output_folder, exist_ok=True)
+    num_modalities = num_modalities or plans.num_modalities
+    files = sorted(f for f in os.listdir(input_folder) if f.endswith((".nii", ".nii.gz")))
+    cases: dict = {}
+    for f in files:
+        base = f[:-7] if f.endswith(".nii.gz") else f[:-4]
+        case = base[:-5] if len(base) > 5 and base[-5] == "_" and base[-4:].isdigit() else base
+        cases.setdefault(case, []).append(os.path.join(input_folder, f))
+    written = []
+    with ThreadPoolExecutor(max_workers=io_workers) as pool:
+        futures = []
+        for case, imgs in sorted(cases.items()):
+            seg, _, props = predict_case(
+                apply_fn, params_per_fold, sorted(imgs), plans, config_name,
+                do_tta=do_tta, window_batch=window_batch,
+                postprocess_labels=postprocess_labels)
+            out_file = os.path.join(output_folder, f"{case}.nii.gz")
+            futures.append(pool.submit(export_segmentation, seg, props, out_file))
+            written.append(out_file)
+        for f in futures:
+            f.result()
+    return written

@@ -1,0 +1,371 @@
+"""MultiHeadTrainer — the base continual-learning trainer.
+
+Counterpart of the reference's ``nnUNetTrainerMultiHead``
+(``nnunet_ext/training/network_training/multihead/nnUNetTrainerMultiHead.py``,
+1408 LoC): owns the multi-head network state, the task lifecycle, the
+``already_trained_on`` manifest, epoch loop, checkpointing, and periodic
+cross-task validation.  CL methods subclass it and override only the four
+hooks (``init_cl_state`` / ``loss_extras`` / ``cl_state_update`` /
+``before_task`` / ``after_task``) plus ``HYPERPARAMS`` — the per-iteration
+math lives in ``ops/cl_losses.py``, compiled into the single jitted train
+step (SURVEY.md §7.2).
+
+Key design translations from the reference:
+  * ``mh_network.update_after_iteration()`` every iteration (``:649-650``) →
+    nothing: the optimizer updates the merged param tree; ``absorb`` writes
+    back into the head registry at epoch/task boundaries only.
+  * per-epoch AMP + grad clip → bf16 compute inside one jitted step.
+  * ``_perform_validation`` (``:678-901``) patch-sampled per-subject eval →
+    full sliding-window per-subject eval on the preprocessed volumes
+    (deterministic, no sampling noise; shapes bucketed for compile reuse).
+  * 250/50 train/val iterations per epoch, poly LR, SGD nesterov 0.99,
+    save_every=25 — same defaults.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import OrderedDict
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.augment import NO_AUGMENT, AugmentConfig
+from ..data.dataset import PreprocessedDataset, kfold_split, param_search_split
+from ..data.pipeline import Prefetcher
+from ..data.sampler import PatchSampler
+from ..evaluation.metrics import dice_from_counts, iou_from_counts
+from ..inference.sliding_window import bucket_shape, predict_sliding_window
+from ..models.multihead import MultiHeadParams
+from ..models.unet import ds_scale_factors, unet_from_plans
+from ..training import checkpoints
+from ..training.optimizer import make_optimizer
+from ..training.train_step import StepConfig, TrainState, make_eval_step, make_train_step
+from ..utilities.logging_utils import RunLogger
+
+
+@dataclass
+class TrainerOptions:
+    num_epochs: int = 1000
+    iters_per_epoch: int = 250
+    val_iters: int = 50
+    save_every: int = 25
+    initial_lr: float = 1e-2
+    split_at: str = "seg_outputs"
+    batch_size: int | None = None          # None -> plans value
+    patch_size: tuple | None = None        # None -> plans value
+    dtype: str = "bfloat16"                # compute dtype on TPU
+    augment: bool = True
+    oversample: float = 0.33
+    seed: int = 0
+    fold: int = 0
+    use_param_split: bool = False          # param-search 80:20 split
+    use_progress_val: bool = False         # _perform_validation every save_every
+    mixed_precision_on_cpu: bool = False   # tests force f32 on CPU
+    base_num_features: int | None = None   # None -> plans value (tests shrink this)
+    max_num_features: int | None = None
+
+
+class MultiHeadTrainer:
+    EXTENSION = "multihead"
+    HYPERPARAMS: dict = {}
+    # Sequential-style trainers transfer the previous head to new tasks
+    TRANSFER_HEADS = False
+
+    def __init__(self, plans, config_name: str, output_folder: str,
+                 options: TrainerOptions | None = None, **hyperparams):
+        self.plans = plans
+        self.config_name = config_name
+        self.cfg = plans.config(config_name)
+        self.output_folder = output_folder
+        self.opts = options or TrainerOptions()
+        self.hyperparams = hyperparams
+        self.num_classes = plans.num_classes + 1
+        # nnU-Net batch-dice rule (reference default_configuration.py:93-100):
+        # 2d & 3d_fullres use batch dice; 3d_lowres (cascade) does not.
+        self.batch_dice = config_name in ("2d", "3d_fullres")
+
+        dtype = jnp.float32
+        if self.opts.dtype == "bfloat16" and (
+                jax.default_backend() != "cpu" or self.opts.mixed_precision_on_cpu):
+            dtype = jnp.bfloat16
+        self.model = unet_from_plans(plans, config_name, dtype=dtype)
+        if self.opts.base_num_features or self.opts.max_num_features:
+            self.model = self.model.clone(
+                base_num_features=self.opts.base_num_features or self.model.base_num_features,
+                max_num_features=self.opts.max_num_features or self.model.max_num_features)
+        self.ds_factors = tuple(ds_scale_factors(self.cfg.pool_op_kernel_sizes))
+        self.patch_size = tuple(self.opts.patch_size or self.cfg.patch_size)
+        self.batch_size = int(self.opts.batch_size or self.cfg.batch_size)
+
+        self.mh: MultiHeadParams | None = None
+        self.state: TrainState | None = None
+        self.cl_state = self.init_cl_state()
+        self.tx = None
+        self._train_step = None
+        self._eval_step = None
+        self.epoch = 0
+        self.global_step = 0
+        self.best_val = np.inf
+        self.already_trained_on: dict = {}
+        self.logger = RunLogger(output_folder)
+        self.rng = jax.random.PRNGKey(self.opts.seed)
+        self._datasets: dict = {}     # task -> (PreprocessedDataset, tr_cases, val_cases)
+        self._prefetcher = None
+        self._val_history: list = []
+
+    # ------------------------------------------------------------------ hooks
+    def init_cl_state(self):
+        return {}
+
+    def loss_extras(self):
+        """Return a callable (params, cl_state, model_out, batch) ->
+        (extra_loss, aux dict), or None. ``model_out`` = {'outputs', 'taps'}."""
+        return None
+
+    def cl_state_update(self):
+        """Return a callable (cl_state, params, grads, loss) -> cl_state, or None."""
+        return None
+
+    def before_task(self, task: str):
+        pass
+
+    def after_task(self, task: str):
+        pass
+
+    def trainable_mask(self):
+        """Override for frozen-* methods. None = everything trainable."""
+        return None
+
+    # -------------------------------------------------------------- data
+    def register_task_data(self, task: str, stage_dir: str):
+        ds = PreprocessedDataset(stage_dir)
+        tr, val = kfold_split(ds.cases, self.opts.fold)
+        if self.opts.use_param_split:
+            tr, val = param_search_split(tr)
+        self._datasets[task] = (ds, tr, val)
+        return tr, val
+
+    def _make_sampler(self, task: str, train: bool = True, seed_offset: int = 0):
+        ds, tr, val = self._datasets[task]
+        cases = tr if train else val
+        return PatchSampler(ds, cases, self.patch_size, self.batch_size,
+                            oversample_foreground_percent=self.opts.oversample,
+                            seed=self.opts.seed + seed_offset + (0 if train else 1000))
+
+    # -------------------------------------------------------------- setup
+    def _ensure_initialized(self, task: str):
+        if self.mh is not None:
+            return
+        dummy = jnp.zeros((1,) + self.patch_size + (self.plans.num_modalities,),
+                          jnp.float32)
+        params = self.model.init(jax.random.PRNGKey(self.opts.seed), dummy)["params"]
+        self.mh = MultiHeadParams.create(params, self.opts.split_at,
+                                         self.model.module_order(), task)
+        self.logger(f"initialized network: {sum(x.size for x in jax.tree.leaves(params)):,} params, "
+                    f"patch {self.patch_size}, batch {self.batch_size}")
+
+    def _build_step(self):
+        self.tx = make_optimizer(
+            max_epochs=self.opts.num_epochs,
+            iters_per_epoch=self.opts.iters_per_epoch,
+            initial_lr=self.opts.initial_lr,
+            trainable_mask=self.trainable_mask(),
+        )
+        aug = AugmentConfig() if self.opts.augment else None
+        step_cfg = StepConfig(ds_factors=self.ds_factors, batch_dice=self.batch_dice,
+                              num_classes=self.num_classes, augment=aug)
+        self._train_step = make_train_step(self.model, self.tx, step_cfg,
+                                           loss_extras=self.loss_extras(),
+                                           cl_state_update=self.cl_state_update())
+        self._eval_step = make_eval_step(self.model, step_cfg)
+        self.state = TrainState.create(self.mh.assemble(), self.tx)
+
+    # -------------------------------------------------------------- manifest
+    def _trained_on_path(self) -> str:
+        return os.path.join(self.output_folder, f"{self.EXTENSION}_trained_on.json")
+
+    def _update_manifest(self, **kv):
+        self.already_trained_on.setdefault(str(self.opts.fold), {
+            "finished_training_on": [], "start_training_on": None,
+            "finished_validation_on": [], "prev_trainer": [],
+            "used_identifier": self.plans.plans_name,
+            "checkpoint_should_exist": False,
+            "tasks_at_time_of_checkpoint": [],
+            "active_task_at_time_of_checkpoint": None,
+            "hyperparams": {k: str(v) for k, v in self.hyperparams.items()},
+        })
+        self.already_trained_on[str(self.opts.fold)].update(kv)
+        with open(self._trained_on_path(), "w") as f:
+            json.dump(self.already_trained_on, f, indent=2)
+
+    # -------------------------------------------------------------- training
+    def train_task(self, task: str, stage_dir: str, num_epochs: int | None = None):
+        """Train on one task (the reference's per-task ``run_training``,
+        ``multihead/…:520-596``): register data, add/activate head, epoch loop,
+        checkpoints, manifest updates, after-task CL hook."""
+        num_epochs = num_epochs or self.opts.num_epochs
+        self.register_task_data(task, stage_dir)
+        self._ensure_initialized(task)
+        if task not in self.mh.tasks:
+            self.mh = self.mh.add_new_task(task, use_init=not self.TRANSFER_HEADS)
+        else:
+            self.mh = self.mh.add_new_task(task)  # activate existing head
+        self.before_task(task)
+        self._build_step()
+        self._update_manifest(start_training_on=task, checkpoint_should_exist=False)
+
+        sampler = self._make_sampler(task, train=True, seed_offset=len(self.mh.tasks))
+        prefetch = Prefetcher(sampler)
+        val_sampler = self._make_sampler(task, train=False, seed_offset=len(self.mh.tasks))
+        try:
+            for epoch in range(num_epochs):
+                self.epoch = epoch
+                t0 = time.time()
+                tr_losses = []
+                for _ in range(self.opts.iters_per_epoch):
+                    batch, _keys = prefetch.next()
+                    self.rng, step_key = jax.random.split(self.rng)
+                    self.state, self.cl_state, metrics = self._train_step(
+                        self.state, self.cl_state, batch, step_key)
+                    tr_losses.append(metrics["loss"])
+                    self.global_step += 1
+                tr_loss = float(jnp.mean(jnp.stack(tr_losses)))
+                val_loss, val_dice = self._quick_val(val_sampler)
+                self.logger(f"[{task}] epoch {epoch}: train {tr_loss:.4f} "
+                            f"val {val_loss:.4f} fg-dice {val_dice:.4f} "
+                            f"({time.time()-t0:.1f}s)")
+                self.mh = self.mh.absorb(self.state.params, task)
+                if val_loss < self.best_val:
+                    self.best_val = val_loss
+                    self.save_checkpoint("model_best")
+                if (epoch + 1) % self.opts.save_every == 0 or epoch == num_epochs - 1:
+                    self.save_checkpoint("model_latest")
+                    self._update_manifest(checkpoint_should_exist=True,
+                                          tasks_at_time_of_checkpoint=self.mh.tasks,
+                                          active_task_at_time_of_checkpoint=task)
+                    if self.opts.use_progress_val:
+                        self._perform_validation(tag=f"epoch_{epoch}")
+        finally:
+            prefetch.stop()
+        self.after_task(task)
+        self.mh = self.mh.absorb(self.state.params, task)
+        self.save_checkpoint("model_final_checkpoint")
+        done = self.already_trained_on.get(str(self.opts.fold), {}).get("finished_training_on", [])
+        self._update_manifest(finished_training_on=done + [task], start_training_on=None,
+                              checkpoint_should_exist=True,
+                              tasks_at_time_of_checkpoint=self.mh.tasks,
+                              active_task_at_time_of_checkpoint=task)
+
+    def _quick_val(self, val_sampler):
+        losses, tps, fps, fns = [], 0, 0, 0
+        for _ in range(self.opts.val_iters):
+            b = val_sampler.next_batch()
+            m = self._eval_step(self.state.params,
+                                {"data": jnp.asarray(b["data"]), "seg": jnp.asarray(b["seg"])})
+            losses.append(m["loss"])
+            tps = tps + m["tp"]; fps = fps + m["fp"]; fns = fns + m["fn"]
+        dice = float(jnp.mean(2 * tps / jnp.maximum(2 * tps + fps + fns, 1)))
+        return float(jnp.mean(jnp.stack(losses))), dice
+
+    # -------------------------------------------------------------- validation
+    def _perform_validation(self, tasks: list | None = None, use_head: str | None = None,
+                            always_use_last_head: bool = False, tag: str = "",
+                            call_for_eval: bool = False) -> dict:
+        """Cross-task per-subject Dice/IoU (reference ``:678-901``): for every
+        trained task (or the given list), run sliding-window inference on that
+        task's validation cases with the matching head (or ``use_head``),
+        write results to val_metrics.json/csv."""
+        results = {}
+        tasks = tasks or list(self._datasets.keys())
+        for t in tasks:
+            ds, tr, val = self._datasets[t]
+            head = use_head or (self.mh.tasks[-1] if always_use_last_head else t)
+            if head not in self.mh.tasks:
+                head = self.mh.tasks[-1]
+            params = self.mh.assemble(head)
+            apply_fn = lambda p, x: self.model.apply({"params": p}, x)
+            per_subject = {}
+            for case in val:
+                arr = np.asarray(ds.load(case))
+                data = np.moveaxis(arr[:-1], 0, -1)
+                seg = arr[-1].astype(np.int32)
+                bshape = bucket_shape(data.shape[:-1], self.patch_size)
+                pad = [(0, b - s) for s, b in zip(data.shape[:-1], bshape)] + [(0, 0)]
+                probs = predict_sliding_window(
+                    apply_fn, params, np.pad(data, pad), self.patch_size,
+                    self.num_classes, mirror_axes=(), window_batch=4)
+                probs = probs[tuple(slice(0, s) for s in data.shape[:-1])]
+                pred = np.argmax(probs, axis=-1)
+                from ..evaluation.metrics import subject_metrics
+                per_subject[case] = subject_metrics(pred, seg, self.num_classes)
+            results[t] = {"head": head, "subjects": per_subject}
+        out = {"epoch": self.epoch, "tag": tag, "results": results}
+        self._val_history.append(out)
+        path = os.path.join(self.output_folder,
+                            "val_metrics_eval.json" if call_for_eval else "val_metrics.json")
+        hist = self._val_history if not call_for_eval else [out]
+        with open(path, "w") as f:
+            json.dump(hist, f, indent=2)
+        self._write_val_csv(path.replace(".json", ".csv"), hist)
+        return results
+
+    @staticmethod
+    def _write_val_csv(path: str, history: list):
+        import csv
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["epoch", "tag", "task", "head", "subject", "metric", "class", "value"])
+            for entry in history:
+                for task, r in entry["results"].items():
+                    for subj, metrics in r["subjects"].items():
+                        for metric, vals in metrics.items():
+                            for ci, v in enumerate(vals):
+                                w.writerow([entry["epoch"], entry["tag"], task,
+                                            r["head"], subj, metric, ci + 1, v])
+
+    # -------------------------------------------------------------- checkpoints
+    def save_checkpoint(self, name: str):
+        manifest = {
+            "trainer": type(self).__name__,
+            "extension": self.EXTENSION,
+            "config_name": self.config_name,
+            "plans_name": self.plans.plans_name,
+            "task": self.plans.task,
+            "patch_size": list(self.patch_size),
+            "batch_size": self.batch_size,
+            "fold": self.opts.fold,
+            "split_at": self.opts.split_at,
+            "transfer_heads": self.TRANSFER_HEADS,
+            "hyperparams": {k: str(v) for k, v in self.hyperparams.items()},
+        }
+        checkpoints.save_checkpoint(
+            os.path.join(self.output_folder, name), self.mh,
+            opt_state=self.state.opt_state if self.state else None,
+            cl_state=self.cl_state, step=self.global_step, epoch=self.epoch,
+            manifest=manifest)
+
+    def load_checkpoint(self, name: str = "model_final_checkpoint",
+                        restore_opt: bool = True):
+        base = os.path.join(self.output_folder, name)
+        mh, blob, manifest = checkpoints.load_checkpoint(base)
+        self.mh = mh
+        self.epoch = manifest["epoch"]
+        self.global_step = manifest["step"]
+        self._build_step()
+        self.state = TrainState.create(self.mh.assemble(), self.tx)
+        if restore_opt and manifest.get("has_opt_state"):
+            opt_state = checkpoints.restore_into(self.state.opt_state, blob["opt_state"])
+            self.state = self.state.replace(opt_state=opt_state,
+                                            step=jnp.asarray(self.global_step, jnp.int32))
+        if manifest.get("has_cl_state") and blob.get("cl_state") is not None:
+            template = self.cl_state
+            try:
+                self.cl_state = checkpoints.restore_into(template, blob["cl_state"])
+            except Exception:
+                self.cl_state = blob["cl_state"]
+        return manifest

@@ -3,12 +3,23 @@ sharding/pjit paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: ambient env may point at TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import pytest  # noqa: E402
+
+# Persistent compile cache: trainer tests re-jit identical programs across
+# test functions/processes; this cuts suite time dramatically on CPU.
+import jax  # noqa: E402
+
+# The ambient axon TPU plugin ignores the JAX_PLATFORMS env var; this config
+# update is what actually pins tests to CPU (a single real TPU chip would
+# serialize concurrent test runs and hide sharding bugs).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,119 @@
+"""M2 tests: sliding-window machinery + full prediction pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lifelong_nnunet_tpu.inference.sliding_window import (
+    bucket_shape, compute_steps, gaussian_importance_map, pad_to_min,
+    predict_sliding_window)
+from lifelong_nnunet_tpu.inference.predict import (
+    remove_all_but_largest_component, restore_softmax)
+
+
+def test_compute_steps():
+    steps = compute_steps((100,), (50,), 0.5)
+    assert steps[0][0] == 0 and steps[0][-1] == 50
+    assert all(b - a <= 25 for a, b in zip(steps[0], steps[0][1:]))
+    assert compute_steps((30,), (50,), 0.5) == [[0]]
+
+
+def test_gaussian_map():
+    g = gaussian_importance_map((16, 16, 16))
+    assert g.shape == (16, 16, 16)
+    assert g.max() == 1.0 and g.min() > 0
+    assert g[8, 8, 8] == g.max()
+
+
+def test_pad_to_min():
+    x = np.ones((10, 20, 5, 2))
+    p, undo = pad_to_min(x, (16, 16, 16))
+    assert p.shape == (16, 20, 16, 2)
+    np.testing.assert_array_equal(p[undo], x)
+
+
+def test_bucket_shape():
+    assert bucket_shape((20,), (16,), 0.5) == (24,)
+    assert bucket_shape((16,), (16,), 0.5) == (16,)
+    assert bucket_shape((10,), (16,), 0.5) == (16,)
+
+
+def _const_apply(params, x):
+    """Fake model: class probabilities depend on input mean so flips matter."""
+    b = x.shape[0]
+    logit1 = x.mean(axis=-1, keepdims=True) * params["w"]
+    logit0 = jnp.zeros_like(logit1)
+    return [jnp.concatenate([logit0, logit1], axis=-1)]
+
+
+def test_sliding_window_uniform_prediction():
+    """A translation-invariant model must give identical probs everywhere,
+    regardless of window overlap/gaussian weighting."""
+    params = {"w": jnp.asarray(2.0)}
+    data = np.full((24, 20, 18, 1), 0.7, np.float32)
+    probs = predict_sliding_window(_const_apply, params, data, (16, 16, 16), 2,
+                                   mirror_axes=(), window_batch=3)
+    assert probs.shape == (24, 20, 18, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    assert probs[..., 1].std() < 1e-5  # uniform
+    expected = jax.nn.softmax(jnp.array([0.0, 1.4]))[1]
+    np.testing.assert_allclose(probs[..., 1].mean(), float(expected), rtol=1e-4)
+
+
+def test_sliding_window_mirror_tta_consistency():
+    params = {"w": jnp.asarray(2.0)}
+    rng = np.random.RandomState(0)
+    data = rng.rand(20, 20, 20, 1).astype(np.float32)
+    p_plain = predict_sliding_window(_const_apply, params, data, (16, 16, 16), 2,
+                                     mirror_axes=())
+    p_tta = predict_sliding_window(_const_apply, params, data, (16, 16, 16), 2,
+                                   mirror_axes=(0, 1, 2))
+    assert p_plain.shape == p_tta.shape
+    # this model is pointwise, so mirroring must not change the result
+    np.testing.assert_allclose(p_plain, p_tta, atol=1e-4)
+
+
+def test_sliding_window_real_unet_matches_direct():
+    """For a volume exactly one patch in size, sliding-window == direct apply."""
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+    model = GenericUNet(num_classes=3, pool_op_kernel_sizes=((2, 2, 2),),
+                        conv_kernel_sizes=((3, 3, 3), (3, 3, 3)),
+                        base_num_features=4, max_num_features=8)
+    x = np.random.RandomState(0).rand(8, 8, 8, 1).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), x[None])["params"]
+    apply_fn = lambda p, xx: model.apply({"params": p}, xx)
+    probs = predict_sliding_window(apply_fn, params, x, (8, 8, 8), 3, mirror_axes=())
+    direct = jax.nn.softmax(model.apply({"params": params}, x[None])[0][0], axis=-1)
+    np.testing.assert_allclose(probs, np.asarray(direct), atol=1e-4)
+
+
+def test_restore_softmax():
+    probs = np.zeros((6, 6, 6, 2), np.float32)
+    probs[..., 1] = 0.8
+    probs[..., 0] = 0.2
+    props = {"cropped_shape": [6, 6, 6], "original_shape": [10, 10, 10],
+             "crop_bbox": [[2, 8], [2, 8], [2, 8]]}
+    full = restore_softmax(probs, props)
+    assert full.shape == (10, 10, 10, 2)
+    assert full[0, 0, 0, 0] == 1.0  # outside crop = background
+    assert full[3, 3, 3, 1] == np.float32(0.8)
+
+
+def test_restore_softmax_with_resample():
+    probs = np.ones((4, 4, 4, 2), np.float32) * 0.5
+    props = {"cropped_shape": [8, 8, 8], "original_shape": [8, 8, 8],
+             "crop_bbox": [[0, 8], [0, 8], [0, 8]]}
+    full = restore_softmax(probs, props)
+    assert full.shape == (8, 8, 8, 2)
+
+
+def test_largest_component():
+    seg = np.zeros((10, 10, 10), np.uint8)
+    seg[1:4, 1:4, 1:4] = 1       # big component (27 vox)
+    seg[7:9, 7:9, 7:9] = 1       # small component (8 vox)
+    seg[5, 5, 5] = 2
+    out = remove_all_but_largest_component(seg)
+    assert out[2, 2, 2] == 1
+    assert out[8, 8, 8] == 0     # small removed
+    assert out[5, 5, 5] == 2     # other class untouched
