@@ -93,16 +93,19 @@ def normalize_scores(scores: dict, eps: float = 1e-8) -> dict:
 
 def lwf_distill_loss(current_logits_per_head: list, target_logits_per_head: list,
                      temperature: float = 2.0):
-    """Σ over previous heads of KL(target^T ‖ current^T) (reference
-    deep_supervision.py:194-196 uses kl_div(log_softmax(x/T),
-    softmax(target/T)) summed)."""
+    """Σ over previous heads of KL(teacher^T ‖ current^T) with 'batchmean'
+    reduction — sum over voxels and classes divided by batch size, matching
+    the reference's ``F.kl_div(..., reduction='batchmean', log_target=True)``
+    (deep_supervision.py:194-196).  Logits are the full-resolution output
+    only (the reference caches ``network(x)[0]``,
+    helpful_functions.py:249-251)."""
     total = 0.0
     for cur, tgt in zip(current_logits_per_head, target_logits_per_head):
         logp = jax.nn.log_softmax(cur.astype(jnp.float32) / temperature, axis=-1)
-        q = jax.nn.softmax(tgt.astype(jnp.float32) / temperature, axis=-1)
         logq = jax.nn.log_softmax(tgt.astype(jnp.float32) / temperature, axis=-1)
-        kl = jnp.sum(q * (logq - logp), axis=-1)
-        total = total + jnp.mean(kl)
+        q = jnp.exp(logq)
+        kl = jnp.sum(q * (logq - logp))
+        total = total + kl / cur.shape[0]
     return total
 
 
@@ -223,6 +226,42 @@ def plop_pseudo_targets(target, teacher_logits, thresholds, num_classes: int):
     num = jnp.sum((is_bg & confident).astype(jnp.float32))
     den = jnp.maximum(jnp.sum(is_bg.astype(jnp.float32)), 1.0)
     return pseudo.astype(jnp.int32), num / den
+
+
+def _ce_per_sample(logits, target, ignore: int = -1):
+    """Mean CE per batch element, ignoring ``ignore`` voxels. [B]"""
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.clip(target, 0, num_classes - 1)
+    picked = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    valid = (target != ignore).astype(jnp.float32)
+    axes = tuple(range(1, target.ndim))
+    return -(picked * valid).sum(axes) / jnp.maximum(valid.sum(axes), 1.0)
+
+
+def plop_pseudo_label_loss(logits, teacher_logits, target, thresholds):
+    """One DS output's PLOP objective (reference deep_supervision.py:289-332):
+    with B = background mask and V = teacher-confident mask,
+      pseudo CE  : only B∧V voxels, labeled by the teacher argmax
+      not-pseudo CE: everything except B∧V, true labels
+      weighted per-sample by the adaptive factor |B∧V|/|B|.
+    """
+    probs = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=-1)
+    ent = entropy(probs)
+    pseudo = jnp.argmax(probs, axis=-1)
+    confident = ent < thresholds[pseudo]
+    is_bg = target == 0
+    pv = is_bg & confident
+    # not-pseudo: true labels with confident-bg voxels ignored
+    lab_not = jnp.where(pv, -1, target)
+    # pseudo: teacher labels on confident-bg voxels, everything else ignored
+    lab_ps = jnp.where(pv, pseudo, -1)
+    axes = tuple(range(1, target.ndim))
+    num = pv.astype(jnp.float32).sum(axes)
+    den = jnp.maximum(is_bg.astype(jnp.float32).sum(axes), 1.0)
+    factor = num / den
+    loss = factor * (_ce_per_sample(logits, lab_ps) + _ce_per_sample(logits, lab_not))
+    return loss.mean()
 
 
 def median_entropy_thresholds(entropy_sums, counts, max_entropy: float = 1.0):

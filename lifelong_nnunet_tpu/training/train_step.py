@@ -58,6 +58,7 @@ def make_train_step(model, tx, cfg: StepConfig,
         per-iteration CL state maintenance (e.g. RW online fisher EMA).
     """
     needs_taps = getattr(loss_extras, "needs_taps", False)
+    replace_base = getattr(loss_extras, "replace_base", False)
 
     def loss_fn(params, cl_state, data, seg):
         if needs_taps:
@@ -65,13 +66,19 @@ def make_train_step(model, tx, cfg: StepConfig,
         else:
             outputs = model.apply({"params": params}, data)
             taps = None
-        base = deep_supervision_loss(outputs, seg, cfg.ds_factors, cfg.batch_dice)
         aux = {}
-        if loss_extras is not None:
-            extra, aux = loss_extras(params, cl_state,
-                                     {"outputs": outputs, "taps": taps},
-                                     {"data": data, "seg": seg})
-            base = base + extra
+        if replace_base:
+            # methods like MiB/PLOP define the whole objective themselves
+            base, aux = loss_extras(params, cl_state,
+                                    {"outputs": outputs, "taps": taps},
+                                    {"data": data, "seg": seg})
+        else:
+            base = deep_supervision_loss(outputs, seg, cfg.ds_factors, cfg.batch_dice)
+            if loss_extras is not None:
+                extra, aux = loss_extras(params, cl_state,
+                                         {"outputs": outputs, "taps": taps},
+                                         {"data": data, "seg": seg})
+                base = base + extra
         return base, (outputs, aux)
 
     @jax.jit

@@ -141,6 +141,15 @@ class MultiHeadTrainer:
         """Override for frozen-* methods. None = everything trainable."""
         return None
 
+    def _wrap_params(self, assembled):
+        """Map the assembled (body+active-head) tree to the train-step param
+        tree. LwF wraps in {'main', 'prev_heads'} so previous heads train."""
+        return assembled
+
+    def _unwrap_params(self, step_params):
+        """Inverse of _wrap_params: full nested tree for absorb/eval."""
+        return step_params
+
     # -------------------------------------------------------------- data
     def register_task_data(self, task: str, stage_dir: str):
         ds = PreprocessedDataset(stage_dir)
@@ -183,7 +192,7 @@ class MultiHeadTrainer:
                                            loss_extras=self.loss_extras(),
                                            cl_state_update=self.cl_state_update())
         self._eval_step = make_eval_step(self.model, step_cfg)
-        self.state = TrainState.create(self.mh.assemble(), self.tx)
+        self.state = TrainState.create(self._wrap_params(self.mh.assemble()), self.tx)
 
     # -------------------------------------------------------------- manifest
     def _trained_on_path(self) -> str:
@@ -239,7 +248,7 @@ class MultiHeadTrainer:
                 self.logger(f"[{task}] epoch {epoch}: train {tr_loss:.4f} "
                             f"val {val_loss:.4f} fg-dice {val_dice:.4f} "
                             f"({time.time()-t0:.1f}s)")
-                self.mh = self.mh.absorb(self.state.params, task)
+                self.mh = self.mh.absorb(self._unwrap_params(self.state.params), task)
                 if val_loss < self.best_val:
                     self.best_val = val_loss
                     self.save_checkpoint("model_best")
@@ -252,8 +261,10 @@ class MultiHeadTrainer:
                         self._perform_validation(tag=f"epoch_{epoch}")
         finally:
             prefetch.stop()
+        self.mh = self.mh.absorb(self._unwrap_params(self.state.params), task)
+        if getattr(self, "_suppress_finalize", False):
+            return  # intermediate phase (e.g. LwF freeze_run): no task-finish bookkeeping
         self.after_task(task)
-        self.mh = self.mh.absorb(self.state.params, task)
         self.save_checkpoint("model_final_checkpoint")
         done = self.already_trained_on.get(str(self.opts.fold), {}).get("finished_training_on", [])
         self._update_manifest(finished_training_on=done + [task], start_training_on=None,
@@ -263,9 +274,10 @@ class MultiHeadTrainer:
 
     def _quick_val(self, val_sampler):
         losses, tps, fps, fns = [], 0, 0, 0
+        eval_params = self._unwrap_params(self.state.params)
         for _ in range(self.opts.val_iters):
             b = val_sampler.next_batch()
-            m = self._eval_step(self.state.params,
+            m = self._eval_step(eval_params,
                                 {"data": jnp.asarray(b["data"]), "seg": jnp.asarray(b["seg"])})
             losses.append(m["loss"])
             tps = tps + m["tp"]; fps = fps + m["fp"]; fns = fns + m["fn"]

@@ -8,11 +8,37 @@ declared, not discovered, so it is import-safe and typo-checked."""
 from ..trainer import MultiHeadTrainer
 from .sequential import SequentialTrainer
 from .rehearsal import RehearsalTrainer
+from .ewc import EWCLNTrainer, EWCTrainer, EWCUNetTrainer, EWCViTTrainer
+from .rw import RWTrainer
+from .lwf import LwFTrainer
+from .mib import MiBTrainer
+from .plop import PLOPTrainer, PODTrainer
+from .frozen import (FrozEWCTrainer, FrozenBodyTrainer, FrozenNonLNTrainer,
+                     FrozenUNetTrainer, FrozenViTTrainer)
+from .own import OwnM1Trainer, OwnM2Trainer, OwnM3Trainer, OwnM4Trainer
 
 TRAINER_MAP = {
     "multihead": MultiHeadTrainer,
     "sequential": SequentialTrainer,
     "rehearsal": RehearsalTrainer,
+    "ewc": EWCTrainer,
+    "ewc_vit": EWCViTTrainer,
+    "ewc_unet": EWCUNetTrainer,
+    "ewc_ln": EWCLNTrainer,
+    "rw": RWTrainer,
+    "lwf": LwFTrainer,
+    "mib": MiBTrainer,
+    "plop": PLOPTrainer,
+    "pod": PODTrainer,
+    "frozen_vit": FrozenViTTrainer,
+    "frozen_nonln": FrozenNonLNTrainer,
+    "frozen_unet": FrozenUNetTrainer,
+    "frozen_body_seq": FrozenBodyTrainer,
+    "froz_ewc": FrozEWCTrainer,
+    "ownm1": OwnM1Trainer,
+    "ownm2": OwnM2Trainer,
+    "ownm3": OwnM3Trainer,
+    "ownm4": OwnM4Trainer,
 }
 
 # reference class names -> ours, for CLI/checkpoint compatibility
@@ -20,6 +46,24 @@ CLASS_NAME_MAP = {
     "nnUNetTrainerMultiHead": MultiHeadTrainer,
     "nnUNetTrainerSequential": SequentialTrainer,
     "nnUNetTrainerRehearsal": RehearsalTrainer,
+    "nnUNetTrainerEWC": EWCTrainer,
+    "nnUNetTrainerEWCViT": EWCViTTrainer,
+    "nnUNetTrainerEWCUNet": EWCUNetTrainer,
+    "nnUNetTrainerEWCLN": EWCLNTrainer,
+    "nnUNetTrainerRW": RWTrainer,
+    "nnUNetTrainerLWF": LwFTrainer,
+    "nnUNetTrainerMiB": MiBTrainer,
+    "nnUNetTrainerPLOP": PLOPTrainer,
+    "nnUNetTrainerPOD": PODTrainer,
+    "nnUNetTrainerFrozenViT": FrozenViTTrainer,
+    "nnUNetTrainerFrozenNonLN": FrozenNonLNTrainer,
+    "nnUNetTrainerFrozenUNet": FrozenUNetTrainer,
+    "nnUNetTrainerFrozenBody": FrozenBodyTrainer,
+    "nnUNetTrainerFrozEWC": FrozEWCTrainer,
+    "nnUNetTrainerOwnM1": OwnM1Trainer,
+    "nnUNetTrainerOwnM2": OwnM2Trainer,
+    "nnUNetTrainerOwnM3": OwnM3Trainer,
+    "nnUNetTrainerOwnM4": OwnM4Trainer,
 }
 
 

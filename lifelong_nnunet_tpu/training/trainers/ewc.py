@@ -1,0 +1,126 @@
+"""EWC trainer family: EWC, EWCViT, EWCUNet, EWCLN.
+
+Reference: ``nnunet_ext/training/network_training/ewc/nnUNetTrainerEWC.py``
+(after-task fisher pass ``:252-310``, per-iteration param sync ``:232-250``)
+and the name-filtered variants (``ewc_vit``/``ewc_unet``/``ewc_ln``,
+``…:45-50`` each).
+
+TPU translation: the reference runs one extra no-step epoch accumulating
+``grad²`` into a fisher dict pickled to ``ewc_data/`` and reloads/re-cudas it
+on restore; here the fisher pass is a jitted accumulation that never leaves
+HBM, and fisher/params anchors live in ``cl_state`` (checkpointed with the
+model).  ``update_network_params`` every iteration (keeping the loss' copy of
+the weights fresh) is unnecessary — the penalty reads the live params
+functionally.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...models.multihead import flatten, name_filter_mask
+from ...ops.cl_losses import ewc_penalty
+from ...ops.losses import deep_supervision_loss
+from ..trainer import MultiHeadTrainer
+
+DEFAULT_EWC_LAMBDA = 0.4  # reference run_training.py default
+
+
+def make_fisher_fn(model, ds_factors, batch_dice):
+    """Jitted single-batch fisher accumulation: fisher += grad(base_loss)²."""
+
+    @jax.jit
+    def fisher_step(params, fisher, batch):
+        def base(p):
+            outputs = model.apply({"params": p}, batch["data"])
+            return deep_supervision_loss(outputs, batch["seg"].astype(jnp.int32),
+                                         ds_factors, batch_dice)
+        grads = jax.grad(base)(params)
+        gf = flatten(grads)
+        return {k: fisher[k] + gf[k].astype(jnp.float32) ** 2 for k in fisher}
+
+    return fisher_step
+
+
+class EWCTrainer(MultiHeadTrainer):
+    EXTENSION = "ewc"
+    TRANSFER_HEADS = False
+    HYPERPARAMS = {"ewc_lambda": float}
+    # name-filter for the regularized parameter subset (variants override)
+    PARAM_FILTER: tuple | None = None       # (substrings, include)
+
+    def __init__(self, *args, ewc_lambda: float = DEFAULT_EWC_LAMBDA, **kw):
+        kw.setdefault("ewc_lambda", ewc_lambda)
+        super().__init__(*args, **kw)
+        self.ewc_lambda = float(ewc_lambda)
+
+    def init_cl_state(self):
+        return {"ewc_tasks": {}}
+
+    def _mask(self, params):
+        if self.PARAM_FILTER is None:
+            return None
+        subs, include = self.PARAM_FILTER
+        return flatten(name_filter_mask(params, subs, include))
+
+    def loss_extras(self):
+        lam = self.ewc_lambda
+        param_filter = self.PARAM_FILTER
+
+        def extras(params, cl_state, model_out, batch):
+            if not cl_state["ewc_tasks"]:
+                return jnp.asarray(0.0), {}
+            flat = flatten(params)
+            mask = None
+            if param_filter is not None:
+                subs, include = param_filter
+                mask = {k: (all(s.lower() in k.lower() for s in subs) == include)
+                        for k in flat}
+            pen = ewc_penalty(flat, cl_state["ewc_tasks"], lam, mask)
+            return pen, {"ewc_penalty": pen}
+
+        return extras
+
+    def after_task(self, task: str):
+        """Fisher pass over one epoch of training batches (reference
+        ``after_train`` ``:252-310``), storing fisher + param snapshot."""
+        self.mh = self.mh.absorb(self.state.params, task)
+        params = self.state.params
+        flat = flatten(params)
+        mask = self._mask(params)
+        keep = [k for k in flat if mask is None or mask.get(k, True)]
+        fisher = {k: jnp.zeros_like(flat[k], dtype=jnp.float32) for k in keep}
+        fisher_step = make_fisher_fn(self.model, self.ds_factors, self.batch_dice)
+        sampler = self._make_sampler(task, train=True, seed_offset=777)
+        n = self.opts.iters_per_epoch
+        for _ in range(n):
+            b = sampler.next_batch()
+            fisher = fisher_step(params, fisher,
+                                 {"data": jnp.asarray(b["data"]),
+                                  "seg": jnp.asarray(b["seg"])})
+        fisher = {k: v / n for k, v in fisher.items()}
+        self.cl_state["ewc_tasks"][task] = {
+            "fisher": fisher,
+            "params": {k: flat[k] for k in keep},
+        }
+        self.logger(f"[{task}] EWC fisher computed over {n} batches "
+                    f"({len(keep)}/{len(flat)} param tensors)")
+
+
+class EWCViTTrainer(EWCTrainer):
+    """EWC restricted to ViT params (reference ewc_vit/…:45-50)."""
+    EXTENSION = "ewc_vit"
+    PARAM_FILTER = (["vit"], True)
+
+
+class EWCUNetTrainer(EWCTrainer):
+    """EWC on everything EXCEPT ViT params (reference ewc_unet/…:45-50)."""
+    EXTENSION = "ewc_unet"
+    PARAM_FILTER = (["vit"], False)
+
+
+class EWCLNTrainer(EWCTrainer):
+    """EWC on ViT LayerNorms only (reference ewc_ln/…:45-50)."""
+    EXTENSION = "ewc_ln"
+    PARAM_FILTER = (["vit", "norm"], True)

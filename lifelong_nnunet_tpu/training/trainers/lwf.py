@@ -1,0 +1,163 @@
+"""LwF trainer (Learning without Forgetting).
+
+Reference: ``nnunet_ext/training/network_training/lwf/nnUNetTrainerLWF.py``
+— two-phase per new task: (1) ``freeze_run`` trains the new head with a
+frozen body (``:189-244``, checkpoint ``model_freezed``); (2) joint training
+where EVERY head predicts each batch and a temperature-KL distills previous
+heads toward target logits (``run_iteration`` ``:298-370``; targets from
+``calculate_target_logits``, helpful_functions.py:207-266, cycled
+``batch_idx % 250``).
+
+TPU translation (documented deviation): the reference caches one epoch of
+teacher logits and cycles them, which only aligns logits with their input
+batch in the first epoch (the generators are ``tee``-copied).  We instead
+snapshot the OLD model parameters per previous head at task start and compute
+the target logits on the fly inside the jitted step — exact input/target
+alignment under augmentation, one extra forward per previous head (the
+reference also pays one forward per head per iteration).  Previous heads
+remain trainable during the joint phase (as in the reference, where
+distillation gradients flow into every head): the step's param tree is
+``{'main': body+active head, 'prev_heads': {task: head leaves}}``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...models.multihead import flatten, unflatten
+from ...ops.cl_losses import lwf_distill_loss
+from ...ops.losses import deep_supervision_loss, online_eval_counts
+from ..train_step import TrainState
+from ..trainer import MultiHeadTrainer
+from ...data.augment import AugmentConfig, _augment_one
+
+
+class LwFTrainer(MultiHeadTrainer):
+    EXTENSION = "lwf"
+    TRANSFER_HEADS = False
+    HYPERPARAMS = {"lwf_temperature": float}
+
+    def __init__(self, *args, lwf_temperature: float = 2.0,
+                 freeze_epochs: int | None = None, **kw):
+        kw.setdefault("lwf_temperature", lwf_temperature)
+        super().__init__(*args, **kw)
+        self.lwf_temperature = float(lwf_temperature)
+        self.freeze_epochs = freeze_epochs  # None -> num_epochs (reference runs a full freeze phase)
+        self._joint_phase = False
+
+    def init_cl_state(self):
+        return {"old_models": None}  # {prev_task: nested params}
+
+    # -------------------------------------------------- param tree wrapping
+    def _wrap_params(self, assembled):
+        if not self._joint_phase:
+            return assembled
+        prev = {t: dict(self.mh.heads[t]) for t in self.mh.tasks[:-1]}
+        return {"main": assembled, "prev_heads": prev}
+
+    def _unwrap_params(self, step_params):
+        if not self._joint_phase or "main" not in step_params:
+            return step_params
+        return step_params["main"]
+
+    # -------------------------------------------------- two-phase training
+    def train_task(self, task: str, stage_dir: str, num_epochs: int | None = None):
+        first = self.mh is None
+        if first:
+            self._joint_phase = False
+            super().train_task(task, stage_dir, num_epochs)
+            return
+        # Phase 1: freeze body, train the new head plain (freeze_run)
+        self.register_task_data(task, stage_dir)
+        if task not in self.mh.tasks:
+            self.mh = self.mh.add_new_task(task, use_init=True)
+        self._joint_phase = False
+        self._freeze_body = True
+        self._suppress_finalize = True
+        fe = self.freeze_epochs if self.freeze_epochs is not None else (
+            num_epochs or self.opts.num_epochs)
+        self.logger(f"[{task}] LwF phase 1: frozen-body head training ({fe} epochs)")
+        super().train_task(task, stage_dir, num_epochs=fe)
+        self._suppress_finalize = False
+        self.save_checkpoint("model_freezed")
+        # Phase 2: snapshot old models, joint training with distillation
+        self._freeze_body = False
+        self._joint_phase = True
+        self.cl_state = {"old_models": {t: self.mh.assemble(t)
+                                        for t in self.mh.tasks[:-1]}}
+        self.logger(f"[{task}] LwF phase 2: joint training with distillation "
+                    f"over {len(self.cl_state['old_models'])} previous heads")
+        super().train_task(task, stage_dir, num_epochs)
+        # write trained prev heads back into the registry
+        self._joint_phase = False
+
+    def trainable_mask(self):
+        if getattr(self, "_freeze_body", False):
+            return self.mh.trainable_mask(freeze_body=True)
+        return None
+
+    # -------------------------------------------------- custom joint step
+    def _build_step(self):
+        if not self._joint_phase:
+            super()._build_step()
+            return
+        from ..optimizer import make_optimizer
+        self.tx = make_optimizer(
+            max_epochs=self.opts.num_epochs,
+            iters_per_epoch=self.opts.iters_per_epoch,
+            initial_lr=self.opts.initial_lr)
+        model = self.model
+        dsf, batch_dice = self.ds_factors, self.batch_dice
+        nc = self.num_classes
+        temp = self.lwf_temperature
+        aug = AugmentConfig() if self.opts.augment else None
+        prev_tasks = self.mh.tasks[:-1]
+        tx = self.tx
+
+        def loss_fn(params, cl_state, data, seg):
+            outputs = model.apply({"params": params["main"]}, data)
+            base = deep_supervision_loss(outputs, seg, dsf, batch_dice)
+            main_flat = flatten(params["main"])
+            cur_logits, tgt_logits = [], []
+            for t in prev_tasks:
+                merged = dict(main_flat)
+                merged.update(params["prev_heads"][t])
+                out_t = model.apply({"params": unflatten(merged)}, data)[0]
+                old_out = model.apply({"params": cl_state["old_models"][t]}, data)[0]
+                cur_logits.append(out_t)
+                tgt_logits.append(jax.lax.stop_gradient(old_out))
+            dist = lwf_distill_loss(cur_logits, tgt_logits, temp)
+            return base + dist, (outputs, {"lwf_distill": dist})
+
+        @jax.jit
+        def train_step(state, cl_state, batch, rng):
+            data, seg = batch["data"], batch["seg"]
+            if aug is not None:
+                keys = jax.random.split(rng, data.shape[0])
+                data, seg = jax.vmap(lambda k, d, s: _augment_one(k, d, s, aug))(
+                    keys, data, seg)
+            seg = seg.astype(jnp.int32)
+            (loss, (outputs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, cl_state, data, seg)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            tp, fp, fn = online_eval_counts(outputs[0], seg, nc)
+            metrics = {"loss": loss, "tp": tp, "fp": fp, "fn": fn, **aux}
+            return TrainState(params=params, opt_state=opt_state,
+                              step=state.step + 1), cl_state, metrics
+
+        self._train_step = train_step
+        from ..train_step import StepConfig, make_eval_step
+        self._eval_step = make_eval_step(model, StepConfig(
+            ds_factors=dsf, batch_dice=batch_dice, num_classes=nc, augment=None))
+        self.state = TrainState.create(self._wrap_params(self.mh.assemble()), self.tx)
+
+    def after_task(self, task: str):
+        # absorb trained previous heads from the joint phase back into heads
+        if self._joint_phase and self.state is not None and "prev_heads" in self.state.params:
+            for t, head in self.state.params["prev_heads"].items():
+                self.mh.heads[t] = dict(head)

@@ -1,0 +1,112 @@
+"""RW trainer (Riemannian Walk / EWC++).
+
+Reference: ``nnunet_ext/training/network_training/rw/nnUNetTrainerRW.py`` —
+online fisher EMA ``F_t = α·g² + (1−α)·F_{t−1}`` every
+``fisher_update_after=10`` iterations (``:256-262``), Riemannian importance
+scores ``Δloss/(½·F·Δθ² + ε)`` clamped ≥ 0 (``:238-251``), score
+normalization + cross-task averaging after each task (``:180-200``), penalty
+``λ·Σ(F+S)(θ−θ*)²`` with the current task's running fisher excluded
+(``deep_supervision.py:107,132``).
+
+TPU translation: the every-10-iteration update is a ``jnp.where``-gated
+branch *inside* the jitted step (no host round trip); fisher/scores/anchors
+live in ``cl_state``."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...models.multihead import flatten
+from ...ops.cl_losses import normalize_scores, rw_online_update, rw_penalty
+from ..trainer import MultiHeadTrainer
+
+
+class RWTrainer(MultiHeadTrainer):
+    EXTENSION = "rw"
+    TRANSFER_HEADS = False
+    HYPERPARAMS = {"rw_lambda": float, "rw_alpha": float, "fisher_update_after": int}
+
+    def __init__(self, *args, rw_lambda: float = 0.4, rw_alpha: float = 0.9,
+                 fisher_update_after: int = 10, **kw):
+        kw.setdefault("rw_lambda", rw_lambda)
+        super().__init__(*args, **kw)
+        self.rw_lambda = float(rw_lambda)
+        self.rw_alpha = float(rw_alpha)
+        self.fisher_update_after = int(fisher_update_after)
+
+    def init_cl_state(self):
+        return {"running": None, "anchor": None, "score_sets": [], "num_tasks_done": 0}
+
+    def before_task(self, task: str):
+        if self.cl_state["running"] is None:
+            flat = flatten(self.mh.assemble(task))
+            zeros = {k: jnp.zeros_like(v, jnp.float32) for k, v in flat.items()}
+            self.cl_state["running"] = {
+                "fisher": dict(zeros),
+                "scores": dict(zeros),
+                "prev_params": dict(flat),
+                "prev_loss": jnp.asarray(0.0),
+                "iter": jnp.asarray(0, jnp.int32),
+            }
+
+    def loss_extras(self):
+        lam = self.rw_lambda
+
+        def extras(params, cl_state, model_out, batch):
+            anchor = cl_state.get("anchor")
+            if anchor is None:
+                return jnp.asarray(0.0), {}
+            flat = flatten(params)
+            pen = rw_penalty(flat, anchor["fisher"], anchor["scores"],
+                             anchor["params"], lam)
+            return pen, {"rw_penalty": pen}
+
+        return extras
+
+    def cl_state_update(self):
+        alpha = self.rw_alpha
+        every = self.fisher_update_after
+
+        def update(cl_state, params, grads, loss):
+            r = cl_state["running"]
+            flatp = {k: v.astype(jnp.float32) for k, v in flatten(params).items()}
+            flatg = flatten(grads)
+            new_f, new_s = rw_online_update(
+                r["fisher"], r["scores"], flatg, r["prev_params"], flatp,
+                r["prev_loss"], loss, alpha=alpha)
+            do = (r["iter"] % every) == 0
+            sel = lambda a, b: jnp.where(do, a, b)
+            running = {
+                "fisher": jax.tree.map(sel, new_f, r["fisher"]),
+                "scores": jax.tree.map(sel, new_s, r["scores"]),
+                "prev_params": jax.tree.map(sel, flatp, r["prev_params"]),
+                "prev_loss": jnp.where(do, loss, r["prev_loss"]),
+                "iter": r["iter"] + 1,
+            }
+            return {**cl_state, "running": running}
+
+        return update
+
+    def after_task(self, task: str):
+        """Normalize scores, average across tasks, snapshot the anchor
+        (reference ``save_f_p_s_values`` rw/…:267-314)."""
+        self.mh = self.mh.absorb(self.state.params, task)
+        r = self.cl_state["running"]
+        norm = normalize_scores(r["scores"])
+        sets = self.cl_state["score_sets"] + [norm]
+        n = len(sets)
+        avg = {k: sum(s[k] for s in sets) / n for k in norm}
+        flat = flatten(self.state.params)
+        self.cl_state = {
+            "running": {**r,
+                        "scores": {k: jnp.zeros_like(v) for k, v in r["scores"].items()}},
+            "anchor": {
+                "fisher": {k: r["fisher"][k] for k in r["fisher"]},
+                "scores": avg,
+                "params": {k: jnp.asarray(v, jnp.float32) for k, v in flat.items()},
+            },
+            "score_sets": sets,
+            "num_tasks_done": self.cl_state["num_tasks_done"] + 1,
+        }
+        self.logger(f"[{task}] RW anchor updated ({n} score sets averaged)")

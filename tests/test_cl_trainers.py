@@ -1,0 +1,155 @@
+"""M4/M5 integration tests: every CL trainer runs a 2-task sequence and its
+method-specific state behaves as specified."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lifelong_nnunet_tpu.models.multihead import flatten
+from lifelong_nnunet_tpu.training.trainer import TrainerOptions
+from lifelong_nnunet_tpu.training.trainers import (
+    EWCTrainer, FrozenBodyTrainer, FrozEWCTrainer, LwFTrainer, MiBTrainer,
+    OwnM1Trainer, OwnM4Trainer, PLOPTrainer, PODTrainer, RWTrainer, TRAINER_MAP)
+
+
+def small_opts(**kw):
+    defaults = dict(num_epochs=1, iters_per_epoch=3, val_iters=1, save_every=5,
+                    batch_size=2, patch_size=(16, 16, 16), augment=False,
+                    use_progress_val=False, dtype="float32",
+                    base_num_features=4, max_num_features=16)
+    defaults.update(kw)
+    return TrainerOptions(**defaults)
+
+
+@pytest.fixture(scope="module")
+def two_tasks(synthetic_task, synthetic_task_b, tmp_path_factory):
+    from lifelong_nnunet_tpu.planning.fingerprint import analyze_dataset
+    from lifelong_nnunet_tpu.planning.plans import plan_experiment
+    from lifelong_nnunet_tpu.planning.preprocess import preprocess_task
+    import os
+    pre = tmp_path_factory.mktemp("precl")
+    plans = plan_experiment(analyze_dataset(synthetic_task))
+    out = {}
+    for td in (synthetic_task, synthetic_task_b):
+        out[os.path.basename(td)] = preprocess_task(td, plans, str(pre),
+                                                    configs=("3d_fullres",))["3d_fullres"]
+    return plans, out
+
+
+TASKS = ("Task097_SynthA", "Task098_SynthB")
+
+
+def run_two(trainer_cls, two_tasks, tmp_path, opts=None, **kw):
+    plans, stages = two_tasks
+    tr = trainer_cls(plans, "3d_fullres", str(tmp_path / "run"), opts or small_opts(), **kw)
+    for t in TASKS:
+        tr.train_task(t, stages[t])
+    return tr
+
+
+def test_ewc_two_tasks(two_tasks, tmp_path):
+    tr = run_two(EWCTrainer, two_tasks, tmp_path, ewc_lambda=0.4)
+    # fisher anchors exist for both tasks, with penalty active in task 2
+    assert set(tr.cl_state["ewc_tasks"]) == set(TASKS)
+    f = tr.cl_state["ewc_tasks"][TASKS[0]]["fisher"]
+    assert all(np.all(np.asarray(v) >= 0) for v in f.values())
+    assert any(float(np.asarray(v).max()) > 0 for v in f.values())
+
+
+def test_ewc_param_filter(two_tasks, tmp_path):
+    class EWCSegOnly(EWCTrainer):
+        PARAM_FILTER = (["seg"], True)
+    tr = run_two(EWCSegOnly, two_tasks, tmp_path)
+    keys = tr.cl_state["ewc_tasks"][TASKS[0]]["fisher"].keys()
+    assert all(k.startswith("seg") for k in keys) and len(keys) > 0
+
+
+def test_rw_two_tasks(two_tasks, tmp_path):
+    tr = run_two(RWTrainer, two_tasks, tmp_path, fisher_update_after=2)
+    assert tr.cl_state["anchor"] is not None
+    assert tr.cl_state["num_tasks_done"] == 2
+    scores = tr.cl_state["anchor"]["scores"]
+    assert all(np.isfinite(np.asarray(v)).all() for v in scores.values())
+    # normalized scores live in [0, 1]
+    mx = max(float(np.asarray(v).max()) for v in scores.values())
+    assert 0.0 <= mx <= 1.0 + 1e-5
+    f = tr.cl_state["running"]["fisher"]
+    assert any(float(np.asarray(v).max()) > 0 for v in f.values())
+
+
+def test_mib_two_tasks(two_tasks, tmp_path):
+    tr = run_two(MiBTrainer, two_tasks, tmp_path)
+    assert tr.cl_state["teacher"] is not None
+    assert tr.mh.tasks == list(TASKS)
+
+
+def test_plop_two_tasks(two_tasks, tmp_path):
+    tr = run_two(PLOPTrainer, two_tasks, tmp_path)
+    th = tr.cl_state["thresholds"]
+    assert th is not None and len(th) == len(tr.ds_factors)
+    assert all(t.shape == (3,) for t in th)
+    assert all(float(t.min()) >= 0 and float(t.max()) <= 1 for t in th)
+
+
+def test_pod_two_tasks(two_tasks, tmp_path):
+    tr = run_two(PODTrainer, two_tasks, tmp_path)
+    assert tr.cl_state["teacher"] is not None
+    assert tr.cl_state["thresholds"] is None  # POD skips pseudo-labeling
+
+
+def test_lwf_two_tasks(two_tasks, tmp_path):
+    plans, stages = two_tasks
+    tr = LwFTrainer(plans, "3d_fullres", str(tmp_path / "run"), small_opts(),
+                    freeze_epochs=1)
+    tr.train_task(TASKS[0], stages[TASKS[0]])
+    headA = {k: np.asarray(v).copy() for k, v in tr.mh.heads[TASKS[0]].items()}
+    tr.train_task(TASKS[1], stages[TASKS[1]])
+    import os
+    assert os.path.isfile(os.path.join(tr.output_folder, "model_freezed.ckpt"))
+    assert set(tr.cl_state["old_models"]) == {TASKS[0]}
+    # joint phase trains previous heads too -> head A changed
+    top = max(k.split("/")[0] for k in headA)
+    changed = any(not np.allclose(tr.mh.heads[TASKS[0]][k], headA[k])
+                  for k in headA if k.startswith(top))
+    assert changed
+
+
+def test_frozen_body(two_tasks, tmp_path):
+    plans, stages = two_tasks
+    tr = FrozenBodyTrainer(plans, "3d_fullres", str(tmp_path / "run"), small_opts())
+    tr.train_task(TASKS[0], stages[TASKS[0]])
+    body0 = {k: np.asarray(v).copy() for k, v in tr.mh.body.items()}
+    tr.train_task(TASKS[1], stages[TASKS[1]])
+    # body frozen during task 2
+    for k, v in tr.mh.body.items():
+        np.testing.assert_array_equal(v, body0[k], err_msg=k)
+    # but the (transferred) head for task B trained
+    segs = [k for k in tr.mh.heads[TASKS[1]] if not k.startswith("seg0")]
+    assert any(not np.allclose(tr.mh.heads[TASKS[1]][k], tr.mh.heads[TASKS[0]][k])
+               for k in segs)
+
+
+def test_froz_ewc_adaptive_lambda(two_tasks, tmp_path):
+    tr = run_two(FrozEWCTrainer, two_tasks, tmp_path, adaptive=True, ewc_lambda=0.4)
+    # task index 1 is a frozen task -> lambda shrunk
+    assert tr.ewc_lambda < 0.4
+
+
+def test_ownm1_two_tasks(two_tasks, tmp_path):
+    tr = run_two(OwnM1Trainer, two_tasks, tmp_path)
+    assert tr.cl_state["teacher"] is not None
+    assert set(tr.cl_state["ewc_tasks"]) == set(TASKS)
+
+
+def test_ownm4_two_tasks(two_tasks, tmp_path):
+    tr = run_two(OwnM4Trainer, two_tasks, tmp_path)
+    assert tr.cl_state["teacher"] is not None
+    assert int(tr.cl_state["iter"]) == 2 * 3  # 2 tasks x 3 iters
+
+
+def test_registry_covers_all_reference_extensions():
+    expected = {"multihead", "sequential", "rehearsal", "ewc", "ewc_vit",
+                "ewc_unet", "ewc_ln", "rw", "lwf", "mib", "plop", "pod",
+                "frozen_vit", "frozen_nonln", "frozen_unet", "frozen_body_seq",
+                "froz_ewc", "ownm1", "ownm2", "ownm3", "ownm4"}
+    assert expected <= set(TRAINER_MAP)
