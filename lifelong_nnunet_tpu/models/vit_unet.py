@@ -1,0 +1,174 @@
+"""Generic_ViT_UNet: the plans-driven U-Net with a Vision Transformer
+inserted at one of four placements.
+
+Capability counterpart of the reference's
+``nnunet_ext/network_architecture/generic_ViT_UNet.py:16-339``:
+  * **V1**: ViT consumes the first skip connection; its output replaces the
+    bottleneck output as the decoder input (reference ``:290-297``)
+  * **V2**: ViT consumes first skip + the bottleneck fully upsampled through
+    the transpose-conv chain (no skips), fused by addition (``:299-313``)
+  * **V3**: ViT consumes the sum of ALL skips (each fully upsampled through
+    the remaining transpose convs) + the upsampled bottleneck (``:315-339``)
+  * **V4**: the shared-block ViT (per-stage patch embeds/heads) is applied to
+    every decoder-stage output before its seg head (``:260-281``)
+  * ViT size presets, LSA, SPT, task-specific LayerNorms all forwarded
+  * the reference moves the ViT to ``cuda:1`` under ``split_gpu``
+    (``:239-257``) — here placement is a mesh sharding concern, not a model
+    concern (SURVEY.md §2.7)
+
+TPU-first notes: the ViT emits a per-token feature grid that is resized
+(trilinear) to the bottleneck's spatial dims — not a cls-token mega-linear
+(see models/vit.py docstring).  ``module_order`` keeps the reference's
+registration order (ViT before the decoder for V1-V3, before the seg heads
+for V4) so multi-head splits cut at the same places.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .unet import ConvStage, GenericUNet
+from .vit import VisionTransformer, vit_kwargs_for_type
+
+
+class GenericViTUNet(GenericUNet):
+    vit_version: str = "V1"            # V1 | V2 | V3 | V4
+    vit_type: str = "base"             # base | large | huge
+    lsa: bool = False
+    spt: bool = False
+    ln_tasks: tuple = ()               # task-specific LayerNorm names
+    active_task_idx: int = 0           # which task's LNs to use (static)
+    # optional overrides of the vit_type presets (tests / small experiments)
+    vit_embed_dim: int | None = None
+    vit_depth: int | None = None
+    vit_heads: int | None = None
+
+    def module_order(self) -> list:
+        order = [f"enc{s}" for s in range(self.num_pool)]
+        order.append("bottleneck")
+        if self.vit_version != "V4":
+            order.append("vit")
+        for d in range(self.num_pool):
+            order += [f"up{d}", f"dec{d}"]
+        if self.vit_version == "V4":
+            order.append("vit")
+        order += [f"seg{d}" for d in range(self.num_pool)]
+        return order
+
+    @nn.compact
+    def __call__(self, x, capture_taps: bool = False):
+        dim = x.ndim - 2
+        taps = {}
+        skips = []
+        h = x.astype(self.dtype)
+        for s in range(self.num_pool):
+            stride = (1,) * dim if s == 0 else tuple(self.pool_op_kernel_sizes[s - 1])
+            h = ConvStage(self.stage_features(s), self.conv_kernel_sizes[s], stride,
+                          self.dtype, name=f"enc{s}")(h)
+            taps[f"enc{s}"] = h
+            skips.append(h)
+        h = ConvStage(self.stage_features(self.num_pool),
+                      self.conv_kernel_sizes[self.num_pool],
+                      tuple(self.pool_op_kernel_sizes[-1]),
+                      self.dtype, name="bottleneck")(h)
+        taps["bottleneck"] = h
+
+        sizes = vit_kwargs_for_type(self.vit_type)
+        if self.vit_embed_dim:
+            sizes["embed_dim"] = self.vit_embed_dim
+        if self.vit_depth:
+            sizes["depth"] = self.vit_depth
+        if self.vit_heads:
+            sizes["num_heads"] = self.vit_heads
+        ups = [self._make_up(d, skips, dim) for d in range(self.num_pool)]
+
+        if self.vit_version != "V4":
+            vit = VisionTransformer(
+                out_features=(h.shape[-1],), ln_tasks=self.ln_tasks,
+                lsa=self.lsa, spt=self.spt, dtype=self.dtype, name="vit", **sizes)
+            vit_in = self._vit_input(skips, h, ups)
+            v = vit(vit_in, idx=0, task_idx=self.active_task_idx)
+            taps["vit"] = v
+            # resize the token grid to the bottleneck's spatial dims
+            h = jax.image.resize(v, h.shape[:1] + h.shape[1:-1] + (v.shape[-1],),
+                                 method="linear").astype(self.dtype)
+        else:
+            vit = VisionTransformer(
+                out_features=tuple(skips[self.num_pool - 1 - d].shape[-1]
+                                   for d in range(self.num_pool)),
+                ln_tasks=self.ln_tasks, lsa=self.lsa, spt=self.spt,
+                dtype=self.dtype, name="vit", **sizes)
+
+        seg_outputs = []
+        for d in range(self.num_pool):
+            skip = skips[self.num_pool - 1 - d]
+            h = ups[d](h)
+            h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
+            h = ConvStage(skip.shape[-1],
+                          self.conv_kernel_sizes[self.num_pool - 1 - d],
+                          (1,) * dim, self.dtype, name=f"dec{d}")(h)
+            taps[f"dec{d}"] = h
+            if self.vit_version == "V4":
+                v = vit(h, idx=d, task_idx=self.active_task_idx)
+                v = jax.image.resize(v, h.shape[:1] + h.shape[1:-1] + (v.shape[-1],),
+                                     method="linear").astype(self.dtype)
+                h = v
+                taps[f"vit_dec{d}"] = h
+            logits = nn.Conv(self.num_classes, kernel_size=(1,) * dim,
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             kernel_init=nn.initializers.he_normal(),
+                             name=f"seg{d}")(h)
+            seg_outputs.append(logits.astype(jnp.float32))
+
+        outputs = seg_outputs[::-1] if self.deep_supervision else [seg_outputs[-1]]
+        if capture_taps:
+            return outputs, taps
+        return outputs
+
+    # ------------------------------------------------------------- helpers
+    def _make_up(self, d: int, skips, dim):
+        up_stride = tuple(self.pool_op_kernel_sizes[self.num_pool - 1 - d])
+        feats = skips[self.num_pool - 1 - d].shape[-1]
+        return nn.ConvTranspose(
+            feats, kernel_size=up_stride, strides=up_stride, padding="VALID",
+            dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=nn.initializers.he_normal(), name=f"up{d}")
+
+    def _vit_input(self, skips, bottleneck, ups):
+        """V1/V2/V3 ViT input preparation (reference ``:290-339``).  The
+        transpose-conv modules are shared with the decoder (the reference
+        reuses ``self.tu``)."""
+        if self.vit_version == "V1":
+            return skips[0]
+        def upchain(t, start):
+            for u in range(start, self.num_pool):
+                t = ups[u](t)
+            return t
+        if self.vit_version == "V2":
+            return skips[0] + upchain(bottleneck, 0)
+        if self.vit_version == "V3":
+            acc = upchain(bottleneck, 0)
+            for idx, skip in enumerate(reversed(skips)):
+                acc = acc + upchain(skip, idx + 1)
+            return acc
+        raise ValueError(f"unknown vit_version {self.vit_version!r}")
+
+
+def vit_unet_from_plans(plans, config_name: str, dtype=jnp.float32,
+                        vit_version: str = "V1", vit_type: str = "base",
+                        lsa: bool = False, spt: bool = False,
+                        ln_tasks: tuple = (), deep_supervision: bool = True
+                        ) -> GenericViTUNet:
+    cfg = plans.config(config_name)
+    return GenericViTUNet(
+        num_classes=plans.num_classes + 1,
+        pool_op_kernel_sizes=tuple(tuple(k) for k in cfg.pool_op_kernel_sizes),
+        conv_kernel_sizes=tuple(tuple(k) for k in cfg.conv_kernel_sizes),
+        base_num_features=cfg.base_num_features,
+        max_num_features=cfg.max_num_features,
+        dtype=dtype, deep_supervision=deep_supervision,
+        vit_version=vit_version, vit_type=vit_type, lsa=lsa, spt=spt,
+        ln_tasks=tuple(ln_tasks),
+    )

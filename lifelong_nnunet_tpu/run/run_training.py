@@ -86,6 +86,8 @@ def build_parser(extension: str) -> argparse.ArgumentParser:
     p.add_argument("-batch_size", type=int, default=None)
     p.add_argument("-base_features", type=int, default=None)
     p.add_argument("-max_features", type=int, default=None)
+    p.add_argument("-vit_depth", type=int, default=None,
+                   help="shrink the ViT transformer (tests/quick experiments)")
     p.add_argument("--no_augment", action="store_true")
     for name, (typ, default) in METHOD_ARGS.get(extension, {}).items():
         if typ is bool:
@@ -136,7 +138,11 @@ def run_training(extension: str, argv=None):
             use_progress_val=args.use_progress_val,
             patch_size=tuple(args.patch_size) if args.patch_size else None,
             batch_size=args.batch_size, augment=not args.no_augment,
-            base_num_features=args.base_features, max_num_features=args.max_features)
+            base_num_features=args.base_features, max_num_features=args.max_features,
+            use_vit=args.use_vit, vit_version=f"V{args.vit_version}",
+            vit_type=args.vit_type, vit_lsa=args.do_LSA, vit_spt=args.do_SPT,
+            vit_task_specific_ln=args.task_specific_ln,
+            vit_depth_override=args.vit_depth)
         meta_dir = metadata_folder(results, args.network, task_names, trainer_name,
                                    args.plans_identifier, transfer, **arch_kwargs)
 

@@ -55,9 +55,22 @@ def restore_trainer(checkpoint_base: str, options: TrainerOptions | None = None,
         opts.base_num_features = manifest["base_num_features"]
     if manifest.get("max_num_features"):
         opts.max_num_features = manifest["max_num_features"]
+    vit = manifest.get("vit")
+    if manifest.get("use_vit") and vit:
+        opts.use_vit = True
+        opts.vit_version = vit["version"]
+        opts.vit_type = vit["type"]
+        opts.vit_lsa = vit["lsa"]
+        opts.vit_spt = vit["spt"]
+        opts.vit_task_specific_ln = vit["task_specific_ln"]
+        opts.vit_depth_override = vit.get("depth_override")
     hyper = _parse_hyperparams(cls, manifest.get("hyperparams", {}))
     out_dir = os.path.dirname(checkpoint_base)
     trainer = cls(plans, manifest["config_name"], out_dir, opts, **hyper)
+    if vit and vit.get("ln_tasks"):
+        trainer.model = trainer.model.clone(
+            ln_tasks=tuple(vit["ln_tasks"]),
+            active_task_idx=int(vit.get("active_task_idx", 0)))
     trainer.load_checkpoint(os.path.basename(checkpoint_base), restore_opt=restore_opt)
     return trainer
 

@@ -68,6 +68,14 @@ class TrainerOptions:
     mixed_precision_on_cpu: bool = False   # tests force f32 on CPU
     base_num_features: int | None = None   # None -> plans value (tests shrink this)
     max_num_features: int | None = None
+    # ViT backbone (Generic_ViT_UNet) flags — reference nnViTUNetTrainer.py:38-58
+    use_vit: bool = False
+    vit_version: str = "V1"
+    vit_type: str = "base"
+    vit_lsa: bool = False
+    vit_spt: bool = False
+    vit_task_specific_ln: bool = False
+    vit_depth_override: int | None = None  # tests shrink the transformer
 
 
 class MultiHeadTrainer:
@@ -93,7 +101,18 @@ class MultiHeadTrainer:
         if self.opts.dtype == "bfloat16" and (
                 jax.default_backend() != "cpu" or self.opts.mixed_precision_on_cpu):
             dtype = jnp.bfloat16
-        self.model = unet_from_plans(plans, config_name, dtype=dtype)
+        if self.opts.use_vit:
+            from ..models.vit_unet import vit_unet_from_plans
+            self.model = vit_unet_from_plans(
+                plans, config_name, dtype=dtype, vit_version=self.opts.vit_version,
+                vit_type=self.opts.vit_type, lsa=self.opts.vit_lsa,
+                spt=self.opts.vit_spt)
+            if self.opts.vit_depth_override:
+                d = self.opts.vit_depth_override
+                self.model = self.model.clone(vit_depth=d, vit_embed_dim=max(16, 8 * d),
+                                              vit_heads=2)
+        else:
+            self.model = unet_from_plans(plans, config_name, dtype=dtype)
         if self.opts.base_num_features or self.opts.max_num_features:
             self.model = self.model.clone(
                 base_num_features=self.opts.base_num_features or self.model.base_num_features,
@@ -101,6 +120,9 @@ class MultiHeadTrainer:
         self.ds_factors = tuple(ds_scale_factors(self.cfg.pool_op_kernel_sizes))
         self.patch_size = tuple(self.opts.patch_size or self.cfg.patch_size)
         self.batch_size = int(self.opts.batch_size or self.cfg.batch_size)
+        if self.opts.use_vit:
+            # ViT batch-size halving (reference multihead/…:283-292)
+            self.batch_size = max(1, self.batch_size // 2)
 
         self.mh: MultiHeadParams | None = None
         self.state: TrainState | None = None
@@ -198,6 +220,38 @@ class MultiHeadTrainer:
         self._eval_step = make_eval_step(self.model, step_cfg)
         self.state = TrainState.create(self._wrap_params(self.mh.assemble()), self.tx)
 
+    def _maybe_update_vit_task_lns(self, task: str):
+        """Task-specific ViT LayerNorms: extend the static ``ln_tasks`` tuple
+        and activate this task's LNs (reference ``register_new_task`` /
+        ``use_task``, vision_transformer.py:380-416).  New LN params are
+        freshly initialized; all other leaves are carried over."""
+        if not (self.opts.use_vit and self.opts.vit_task_specific_ln):
+            return
+        from ..models.multihead import flatten as _flat, split_params, unflatten as _unflat
+        tasks = tuple(self.mh.tasks)
+        idx = tasks.index(task)
+        if getattr(self.model, "ln_tasks", ()) == tasks \
+                and getattr(self.model, "active_task_idx", 0) == idx:
+            return
+        self.model = self.model.clone(ln_tasks=tasks, active_task_idx=idx)
+        dummy = jnp.zeros((1,) + self.patch_size + (self.plans.num_modalities,),
+                          jnp.float32)
+        fresh = _flat(self.model.init(jax.random.PRNGKey(self.opts.seed + idx),
+                                      dummy)["params"])
+        old = _flat(self.mh.assemble(task))
+        merged = {k: old.get(k, v) for k, v in fresh.items()}
+        body, head = split_params(_unflat(merged), self.mh.split_at,
+                                  self.model.module_order())
+        from dataclasses import replace as _replace
+        heads = dict(self.mh.heads)
+        heads[task] = head
+        from collections import OrderedDict as _OD
+        self.mh = _replace(self.mh, body=body,
+                           heads=_OD((t, heads[t]) for t in self.mh.tasks),
+                           module_order=self.model.module_order())
+        self.logger(f"[{task}] ViT task-specific LNs active (idx {idx}, "
+                    f"{len(tasks)} task LN sets)")
+
     # -------------------------------------------------------------- manifest
     def set_output_folder(self, folder: str):
         """Redirect checkpoints/logs for the next task (reference builds a new
@@ -236,6 +290,7 @@ class MultiHeadTrainer:
             self.mh = self.mh.add_new_task(task, use_init=not self.TRANSFER_HEADS)
         else:
             self.mh = self.mh.add_new_task(task)  # activate existing head
+        self._maybe_update_vit_task_lns(task)
         self.before_task(task)
         self._build_step()
         self._update_manifest(start_training_on=task, checkpoint_should_exist=False)
@@ -366,6 +421,15 @@ class MultiHeadTrainer:
             "batch_size": self.batch_size,
             "base_num_features": int(self.model.base_num_features),
             "max_num_features": int(self.model.max_num_features),
+            "use_vit": self.opts.use_vit,
+            "vit": {
+                "version": self.opts.vit_version, "type": self.opts.vit_type,
+                "lsa": self.opts.vit_lsa, "spt": self.opts.vit_spt,
+                "task_specific_ln": self.opts.vit_task_specific_ln,
+                "ln_tasks": list(getattr(self.model, "ln_tasks", ())),
+                "active_task_idx": int(getattr(self.model, "active_task_idx", 0)),
+                "depth_override": self.opts.vit_depth_override,
+            } if self.opts.use_vit else None,
             "fold": self.opts.fold,
             "split_at": self.opts.split_at,
             "transfer_heads": self.TRANSFER_HEADS,
