@@ -33,8 +33,11 @@ TIMED_VOLS = 30
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from lifelong_nnunet_tpu.inference.sliding_window import predict_sliding_window
+    from lifelong_nnunet_tpu.inference.sliding_window import (
+        predict_sliding_window, predict_sliding_window_multi)
     from lifelong_nnunet_tpu.models.unet import GenericUNet
 
     backend = jax.default_backend()
@@ -46,22 +49,23 @@ def main():
         dtype=jnp.bfloat16 if backend != "cpu" else jnp.float32,
     )
     rng = np.random.RandomState(0)
-    vol = rng.normal(size=VOLUME + (1,)).astype(np.float32)
+    vols = [rng.normal(size=VOLUME + (1,)).astype(np.float32)
+            for _ in range(TIMED_VOLS)]
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + PATCH + (1,)))["params"]
     params = jax.device_put(params)
     apply_fn = lambda p, x: model.apply({"params": p}, x)
 
-    def run_one():
-        return predict_sliding_window(apply_fn, params, vol, PATCH, NUM_CLASSES,
-                                      mirror_axes=(0, 1, 2), window_batch=8)
+    # serving path: device-side argmax, bf16 upload, depth-2 dispatch pipeline
+    def run(stream):
+        return predict_sliding_window_multi(
+            apply_fn, params, stream, PATCH, NUM_CLASSES,
+            mirror_axes=(0, 1, 2), window_batch=8, output="seg")
 
-    for _ in range(WARMUP_VOLS):
-        run_one()
+    run(vols[:WARMUP_VOLS])
     t0 = time.perf_counter()
-    for _ in range(TIMED_VOLS):
-        probs = run_one()
+    segs = run(vols)
     dt = time.perf_counter() - t0
-    assert probs.shape == VOLUME + (NUM_CLASSES,)
+    assert segs[0].shape == VOLUME and segs[-1].dtype == np.uint8
     vps = TIMED_VOLS / dt
 
     print(json.dumps({

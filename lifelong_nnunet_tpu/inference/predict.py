@@ -104,10 +104,13 @@ def predict_case(apply_fn, params_per_fold: list, image_files: list, plans,
     num_classes = plans.num_classes + 1
     probs = None
     for params in params_per_fold:
+        # bf16 device->host transfer halves per-case latency; ensembling,
+        # resampling and argmax happen in f32 on host
         p = predict_sliding_window(
             apply_fn, params, data, cfg.patch_size, num_classes,
             mirror_axes=mirror_axes if do_tta else (),
-            step_fraction=step_fraction, window_batch=window_batch)
+            step_fraction=step_fraction, window_batch=window_batch,
+            output="probs_bf16")
         probs = p if probs is None else probs + p
     probs = probs / len(params_per_fold)
     full = restore_softmax(probs, props)

@@ -84,9 +84,9 @@ def bucket_shape(shape, patch_size, step_fraction: float = 0.5):
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
-                                   "patch_size", "mirror_axes"))
+                                   "patch_size", "mirror_axes", "output"))
 def _sliding_window_jit(params, data, origins, gaussian, apply_fn, num_classes,
-                        window_batch, patch_size, mirror_axes):
+                        window_batch, patch_size, mirror_axes, output="probs"):
     """data: [*vol, C]; origins: [Wpad, dim] int32 (padded to a multiple of
     window_batch; duplicate origins are harmless — same value written twice
     to the same place via accumulation is NOT, so padding repeats origin 0
@@ -137,19 +137,16 @@ def _sliding_window_jit(params, data, origins, gaussian, apply_fn, num_classes,
     prob_acc = jnp.zeros(vol_shape + (num_classes,), jnp.float32)
     w_acc = jnp.zeros(vol_shape, jnp.float32)
     (prob_acc, w_acc), _ = jax.lax.scan(body, (prob_acc, w_acc), origins_b)
-    return prob_acc / w_acc[..., None]
+    if output == "seg":
+        # weight normalization is positive and per-voxel -> argmax unaffected
+        return jnp.argmax(prob_acc, axis=-1).astype(jnp.uint8)
+    probs = prob_acc / w_acc[..., None]
+    if output == "probs_bf16":
+        return probs.astype(jnp.bfloat16)
+    return probs
 
 
-def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
-                           num_classes: int, mirror_axes=(0, 1, 2),
-                           step_fraction: float = 0.5, window_batch: int = 4,
-                           use_gaussian: bool = True):
-    """data: [*spatial, C] (channels-last, preprocessed). Returns softmax
-    probabilities [*spatial, num_classes] (numpy, original spatial dims).
-
-    apply_fn(params, x) must return the model's DS output list (highest
-    resolution first) for x [B, *patch, C]."""
-    patch_size = tuple(int(p) for p in patch_size)
+def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
     padded, undo = pad_to_min(np.asarray(data), patch_size)
     steps = compute_steps(padded.shape[:-1], patch_size, step_fraction)
     origins = np.array(list(itertools.product(*steps)), dtype=np.int32)
@@ -162,8 +159,68 @@ def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
         origins = np.concatenate([origins, np.repeat(origins[:1], rem, axis=0)])
     gaussian = (gaussian_importance_map(patch_size) if use_gaussian
                 else np.ones(patch_size, np.float32))
-    probs = _sliding_window_jit(params, jnp.asarray(padded), jnp.asarray(origins),
-                                jnp.asarray(gaussian), apply_fn, num_classes, wb,
-                                patch_size, tuple(mirror_axes))
-    probs = np.asarray(probs)
-    return probs[undo]
+    return padded, undo, origins, wb, gaussian
+
+
+def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
+                           num_classes: int, mirror_axes=(0, 1, 2),
+                           step_fraction: float = 0.5, window_batch: int = 4,
+                           use_gaussian: bool = True, output: str = "probs",
+                           input_bf16: bool = False):
+    """data: [*spatial, C] (channels-last, preprocessed). Returns softmax
+    probabilities [*spatial, num_classes] (numpy, original spatial dims), or
+    the argmax segmentation [*spatial] uint8 with ``output='seg'`` (computed
+    on device; shrinks the device->host transfer by num_classes*4x).
+    ``output='probs_bf16'`` halves the transfer, cast back to f32 on host.
+    ``input_bf16`` halves the host->device upload (preprocessed intensities
+    tolerate bf16).
+
+    apply_fn(params, x) must return the model's DS output list (highest
+    resolution first) for x [B, *patch, C]."""
+    patch_size = tuple(int(p) for p in patch_size)
+    padded, undo, origins, wb, gaussian = _prepare(
+        data, patch_size, step_fraction, window_batch, use_gaussian)
+    dev = jnp.asarray(padded.astype(np.float32) if not input_bf16
+                      else padded.astype(jnp.bfloat16))
+    out = _sliding_window_jit(params, dev, jnp.asarray(origins),
+                              jnp.asarray(gaussian), apply_fn, num_classes, wb,
+                              patch_size, tuple(mirror_axes), output)
+    out = np.asarray(out)
+    if output == "probs_bf16":
+        out = out.astype(np.float32)
+    if output == "seg":
+        return out[undo]
+    return out[undo]
+
+
+def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
+                                 num_classes: int, mirror_axes=(0, 1, 2),
+                                 step_fraction: float = 0.5, window_batch: int = 4,
+                                 output: str = "seg", input_bf16: bool = True):
+    """Inference over a stream of volumes sharing one compiled program.
+
+    Measured note: vmapping the whole sliding-window core over a volume batch
+    regresses ~6x — the per-window dynamic_update_slice accumulation becomes
+    a batched scatter the TPU compiler serializes poorly.  A device-queue
+    pipeline (dispatch volume k+1 before fetching volume k's result) hides
+    the host<->device latency instead."""
+    patch_size = tuple(int(p) for p in patch_size)
+    pending = []  # (device result, undo slicer)
+    results: list = [None] * len(volumes)
+    for i, v in enumerate(volumes):
+        padded, undo, origins, wb, gaussian = _prepare(
+            v, patch_size, step_fraction, window_batch, True)
+        dev = jnp.asarray(padded.astype(jnp.bfloat16) if input_bf16
+                          else padded.astype(np.float32))
+        out = _sliding_window_jit(params, dev, jnp.asarray(origins),
+                                  jnp.asarray(gaussian), apply_fn, num_classes,
+                                  wb, patch_size, tuple(mirror_axes), output)
+        pending.append((i, out, undo))
+        if len(pending) >= 2:  # fetch the oldest while the newest computes
+            j, o, u = pending.pop(0)
+            results[j] = np.asarray(o)[u]
+    for j, o, u in pending:
+        results[j] = np.asarray(o)[u]
+    if output == "probs_bf16":
+        results = [r.astype(np.float32) for r in results]
+    return results
