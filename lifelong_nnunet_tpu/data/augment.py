@@ -49,6 +49,10 @@ class AugmentConfig:
     p_gamma_inverted: float = 0.1
     p_gamma: float = 0.3
     gamma_range: tuple = (0.7, 1.5)
+    # spatial resample backend: 'matmul' = shear-decomposed banded matmuls
+    # (ops/shear_resample.py, no gathers — fast on TPU), 'gather' = direct
+    # trilinear 8-corner gather, 'auto' = matmul on accelerators.
+    spatial_mode: str = "auto"
 
 
 NO_AUGMENT = AugmentConfig(do_rotation=False, do_scaling=False, do_mirror=False,
@@ -123,7 +127,34 @@ def _spatial_coords(key, patch, cfg: AugmentConfig):
     dim = len(patch)
     grid = _base_grid(patch)
     center = jnp.array([(s - 1) / 2.0 for s in patch]).reshape(dim, *([1] * dim))
-    g = grid - center
+    return _spatial_coords_from(key, grid - center, patch, cfg) + center
+
+
+def _sample_affine_params(key, dim, cfg: AugmentConfig):
+    """Draw (angles, scale) with the same distributions/gating as
+    `_spatial_coords_from` (shared by the matmul path)."""
+    k_rot, k_rotp, k_scale, k_scalep = jax.random.split(key, 4)
+    n_ang = 3 if dim == 3 else 1
+    angles = jax.random.uniform(k_rot, (n_ang,), minval=-cfg.rot_max, maxval=cfg.rot_max)
+    if cfg.do_rotation:
+        do_r = jax.random.uniform(k_rotp) < cfg.p_rot
+        angles = jnp.where(do_r, angles, jnp.zeros_like(angles))
+    else:
+        angles = jnp.zeros_like(angles)
+    if cfg.do_scaling:
+        sc = jax.random.uniform(k_scale, (), minval=cfg.scale_range[0],
+                                maxval=cfg.scale_range[1])
+        do_s = jax.random.uniform(k_scalep) < cfg.p_scale
+        scale = jnp.where(do_s, sc, 1.0)
+    else:
+        scale = jnp.asarray(1.0)
+    return angles, scale
+
+
+def _spatial_coords_from(key, g, patch, cfg: AugmentConfig):
+    """Apply random rotation/scaling to an already-centered coordinate grid
+    ``g`` [dim, *patch]; returns the transformed centered grid."""
+    dim = len(patch)
     k_rot, k_rotp, k_scale, k_scalep = jax.random.split(key, 4)
     if cfg.do_rotation:
         if dim == 3:
@@ -141,7 +172,7 @@ def _spatial_coords(key, patch, cfg: AugmentConfig):
         # scale < 1 zooms IN (smaller sampled region); batchgenerators semantics
         sc = jnp.where(do, sc, 1.0)
         g = g * sc
-    return g + center
+    return g
 
 
 def _gauss_kernel7(sigma):
@@ -151,18 +182,23 @@ def _gauss_kernel7(sigma):
 
 
 def _blur(x, sigma, dim):
-    """Separable 7-tap Gaussian blur; x [*spatial, C]."""
+    """Separable 7-tap Gaussian blur via depthwise convs (one
+    conv_general_dilated per axis — TPU-friendly, no strided reshapes);
+    x [*spatial, C]."""
     k = _gauss_kernel7(sigma)
+    C = x.shape[-1]
+    xb = x[None]  # [1, *spatial, C]
+    dn = jax.lax.conv_dimension_numbers(
+        xb.shape, (1,) * dim + (1, 1),
+        ("N" + "DHW"[-dim:] + "C", "DHW"[-dim:] + "IO", "N" + "DHW"[-dim:] + "C"))
     for a in range(dim):
-        xm = jnp.moveaxis(x, a, -2)              # [..., axis, C]
-        shape = xm.shape
-        flat = xm.reshape(-1, shape[-2], shape[-1])
-        flat = jnp.moveaxis(flat, -1, 1)         # [N, C, axis]
-        out = jax.vmap(lambda v: jnp.convolve(v, k, mode="same"))(flat.reshape(-1, shape[-2]))
-        flat = out.reshape(flat.shape)
-        xm = jnp.moveaxis(flat, 1, -1).reshape(shape)
-        x = jnp.moveaxis(xm, -2, a)
-    return x
+        kshape = tuple(7 if i == a else 1 for i in range(dim))
+        kern = k.reshape(kshape + (1, 1))
+        kern = jnp.tile(kern, (1,) * dim + (1, C))  # depthwise: one filter per channel
+        xb = jax.lax.conv_general_dilated(
+            xb, kern, window_strides=(1,) * dim, padding="SAME",
+            dimension_numbers=dn, feature_group_count=C)
+    return xb[0]
 
 
 def _augment_one(key, data, seg, cfg: AugmentConfig):
@@ -171,20 +207,36 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
     patch = data.shape[:dim]
     keys = jax.random.split(key, 12)
 
-    # ---- spatial (rotation+scaling, one resample) ----
-    coords = _spatial_coords(keys[0], patch, cfg)
-    if cfg.do_rotation or cfg.do_scaling:
-        data = sample_linear(data, coords, cval=0.0)
-        seg = sample_nearest(seg.astype(jnp.float32), coords, cval=-1.0).astype(jnp.int8)
-
-    # ---- simulated low-res: snap coordinates to a coarser grid ----
-    if cfg.p_lowres > 0:
-        f = jax.random.uniform(keys[1], (), minval=1.0, maxval=2.0)  # zoom 0.5..1
-        do = jax.random.uniform(keys[2]) < cfg.p_lowres
-        f = jnp.where(do, f, 1.0)
-        base = _base_grid(patch)
-        snapped = jnp.floor(base / f) * f
-        data = jnp.where(do, sample_linear(data, snapped, cval=0.0), data)
+    # ---- spatial (rotation+scaling) + simulated low-res, ONE resample ----
+    # Low-res simulation snaps the OUTPUT grid to a coarser pitch before the
+    # affine map — equivalent to nearest-downsample + linear-upsample of the
+    # transformed image, but composed into the same resample (saves a full
+    # pass vs the reference's separate transform).
+    if cfg.do_rotation or cfg.do_scaling or cfg.p_lowres > 0:
+        if cfg.p_lowres > 0:
+            f = jax.random.uniform(keys[1], (), minval=1.0, maxval=2.0)  # zoom 0.5..1
+            do_lr = jax.random.uniform(keys[2]) < cfg.p_lowres
+            f = jnp.where(do_lr, f, 1.0)
+        else:
+            f = None
+        use_matmul = cfg.spatial_mode == "matmul" or (
+            cfg.spatial_mode == "auto" and jax.default_backend() != "cpu")
+        if use_matmul:
+            from ..ops.shear_resample import affine_resample_shear
+            angles, scale = _sample_affine_params(keys[0], dim, cfg)
+            data, seg = affine_resample_shear(data, seg, angles, scale,
+                                              lowres_pitch=f)
+        else:
+            fv = 1.0 if f is None else f
+            if cfg.do_rotation or cfg.do_scaling:
+                base = _base_grid(patch)
+                snapped = jnp.floor(base / fv) * fv
+                center = jnp.array([(s - 1) / 2.0 for s in patch]).reshape(dim, *([1] * dim))
+                coords = _spatial_coords_from(keys[0], snapped - center, patch, cfg) + center
+            else:
+                coords = jnp.floor(_base_grid(patch) / fv) * fv
+            data = sample_linear(data, coords, cval=0.0)
+            seg = sample_nearest(seg.astype(jnp.float32), coords, cval=-1.0).astype(jnp.int8)
 
     # ---- noise ----
     if cfg.p_noise > 0:
