@@ -143,6 +143,8 @@ class MultiHeadTrainer:
         self._datasets: dict = {}     # task -> (PreprocessedDataset, tr_cases, val_cases)
         self._prefetcher = None
         self._val_history: list = []
+        # per-epoch curves for the progress plot (upstream plots progress.png)
+        self._epoch_log: list = []    # dicts: task, epoch, tr_loss, val_loss, val_dice
 
     # ------------------------------------------------------------------ hooks
     def init_cl_state(self):
@@ -315,12 +317,16 @@ class MultiHeadTrainer:
                 self.logger(f"[{task}] epoch {epoch}: train {tr_loss:.4f} "
                             f"val {val_loss:.4f} fg-dice {val_dice:.4f} "
                             f"({time.time()-t0:.1f}s)")
+                self._epoch_log.append({"task": task, "epoch": epoch,
+                                        "tr_loss": tr_loss, "val_loss": val_loss,
+                                        "val_dice": val_dice})
                 self.mh = self.mh.absorb(self._unwrap_params(self.state.params), task)
                 if val_loss < self.best_val:
                     self.best_val = val_loss
                     self.save_checkpoint("model_best")
                 if (epoch + 1) % self.opts.save_every == 0 or epoch == num_epochs - 1:
                     self.save_checkpoint("model_latest")
+                    self._plot_progress()
                     self._update_manifest(checkpoint_should_exist=True,
                                           tasks_at_time_of_checkpoint=self.mh.tasks,
                                           active_task_at_time_of_checkpoint=task)
@@ -350,6 +356,38 @@ class MultiHeadTrainer:
             tps = tps + m["tp"]; fps = fps + m["fp"]; fns = fns + m["fn"]
         dice = float(jnp.mean(2 * tps / jnp.maximum(2 * tps + fps + fns, 1)))
         return float(jnp.mean(jnp.stack(losses))), dice
+
+    def _plot_progress(self):
+        """progress.png with loss + dice curves (upstream nnU-Net parity,
+        SURVEY.md §5 'upstream plots progress PNG')."""
+        if not self._epoch_log:
+            return
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            xs = range(len(self._epoch_log))
+            fig, ax1 = plt.subplots(figsize=(9, 5))
+            ax1.plot(xs, [e["tr_loss"] for e in self._epoch_log], label="train loss")
+            ax1.plot(xs, [e["val_loss"] for e in self._epoch_log], label="val loss")
+            ax1.set_xlabel("epoch (cumulative over tasks)")
+            ax1.set_ylabel("loss")
+            ax2 = ax1.twinx()
+            ax2.plot(xs, [e["val_dice"] for e in self._epoch_log], color="green",
+                     linestyle="--", label="val fg dice")
+            ax2.set_ylabel("dice")
+            # task boundaries
+            prev = None
+            for i, e in enumerate(self._epoch_log):
+                if e["task"] != prev:
+                    ax1.axvline(i, color="gray", alpha=0.3)
+                    prev = e["task"]
+            ax1.legend(loc="upper left")
+            fig.tight_layout()
+            fig.savefig(os.path.join(self.output_folder, "progress.png"), dpi=90)
+            plt.close(fig)
+        except Exception as e:  # plotting must never kill training
+            self.logger(f"progress plot failed: {e}")
 
     # -------------------------------------------------------------- validation
     def _perform_validation(self, tasks: list | None = None, use_head: str | None = None,
