@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output_folder", required=True)
     p.add_argument("-trained_on", nargs="+", required=True)
     p.add_argument("-use_model", "--use", nargs="+", default=None)
-    p.add_argument("-f", "--fold", type=int, default=0)
+    p.add_argument("-f", "--folds", nargs="+", type=int, default=[0],
+                   help="folds to ensemble (softmax-averaged)")
     p.add_argument("-use_head", default=None)
     p.add_argument("-chk", default="model_final_checkpoint")
     p.add_argument("--disable_tta", action="store_true")
@@ -45,19 +46,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run_inference(argv=None):
     args = build_parser().parse_args(argv)
-    args.folds = [args.fold]
     results = paths.require(paths.results_dir(create=False), "results")
-    ckpt = _locate_model(args, results, args.fold)
-    base = os.path.join(os.path.dirname(ckpt), args.chk)
-    if not os.path.isfile(base + ".ckpt"):
-        base = ckpt
-    trainer = restore_trainer(base)
-    head = args.use_head or trainer.mh.tasks[-1]
-    params = trainer.mh.assemble(head)
+    params_per_fold, trainer = [], None
+    for fold in args.folds:
+        ckpt = _locate_model(args, results, fold)
+        base = os.path.join(os.path.dirname(ckpt), args.chk)
+        if not os.path.isfile(base + ".ckpt"):
+            base = ckpt
+        trainer = restore_trainer(base)
+        head = args.use_head or trainer.mh.tasks[-1]
+        params_per_fold.append(trainer.mh.assemble(head))
     apply_fn = lambda p, x: trainer.model.apply({"params": p}, x)
     post = trainer.plans.all_classes if args.postprocess else None
     written = predict_from_folder(
-        apply_fn, [params], trainer.plans, trainer.config_name,
+        apply_fn, params_per_fold, trainer.plans, trainer.config_name,
         args.input_folder, args.output_folder,
         do_tta=not args.disable_tta, window_batch=args.window_batch,
         postprocess_labels=post)

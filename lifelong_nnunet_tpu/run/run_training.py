@@ -61,6 +61,11 @@ def build_parser(extension: str) -> argparse.ArgumentParser:
     p.add_argument("-save_interval", type=int, default=25)
     p.add_argument("-p", "--plans_identifier", default=paths.default_plans_identifier)
     p.add_argument("-c", "--continue_training", action="store_true")
+    p.add_argument("--init_seq", action="store_true",
+                   help="initialize the first task from a previous trainer's "
+                        "checkpoint (reference --init_seq, run_training.py:778-804)")
+    p.add_argument("-initialize_with_network_trainer", default=None,
+                   help="checkpoint base path (without extension) to initialize from")
     p.add_argument("--no_transfer_heads", action="store_true",
                    help="override a method's default head-transfer behavior")
     p.add_argument("--disable_saving", action="store_true",
@@ -171,6 +176,17 @@ def run_training(extension: str, argv=None):
             trainer = trainer_cls(first_plans, args.network,
                                   os.path.join(meta_dir, f"fold_{fold}_bootstrap"),
                                   opts, **hyper)
+            if args.init_seq and args.initialize_with_network_trainer:
+                # first-task-as-init: adopt body+head params (and geometry)
+                # from a previously trained model
+                init_tr = restore_trainer(args.initialize_with_network_trainer, opts)
+                trainer.mh = init_tr.mh.add_n_tasks_and_activate(
+                    init_tr.mh.tasks, init_tr.mh.tasks[-1])
+                trainer.model = init_tr.model
+                trainer.patch_size = init_tr.patch_size
+                print(f"[fold {fold}] initialized from "
+                      f"{args.initialize_with_network_trainer} "
+                      f"(tasks {init_tr.mh.tasks})")
         trainer.metadata_folder = meta_dir
 
         for idx, task in enumerate(task_names):

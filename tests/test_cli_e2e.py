@@ -153,3 +153,61 @@ def test_evaluator2(trained, tmp_path):
     for m in cases.values():
         assert len(m["Dice"]) == 2
     assert (tmp_path / "e2" / "eval2_metrics.csv").is_file()
+
+
+def test_2d_training_pipeline(preprocessed):
+    """The 2d configuration end-to-end: preprocess (2d stage), train, eval."""
+    from lifelong_nnunet_tpu.run.plan_and_preprocess import plan_and_preprocess
+    from lifelong_nnunet_tpu.run.run_training import run_training
+    import lifelong_nnunet_tpu.paths as paths
+    raw = paths.raw_data_dir()
+    pre = paths.preprocessed_dir()
+    plan_and_preprocess([os.path.join(raw, "Task097_SynthA")], pre,
+                        configs=("2d",), verbose=False)
+    run_training("sequential",
+                 ["2d", "-t", "97", "-f", "0", "-num_epochs", "1",
+                  "-num_iters", "4", "-val_iters", "1",
+                  "-patch_size", "16", "16", "-batch_size", "4",
+                  "-base_features", "4", "-max_features", "16",
+                  "--no_augment", "--fp32"])
+    results = paths.results_dir()
+    d = os.path.join(results, "2d", "Task097_SynthA", "Task097_SynthA",
+                     "nnUNetTrainerSequential__nnUNetPlansv2.1",
+                     "Generic_UNet", "SEQ", "fold_0")
+    assert os.path.isfile(os.path.join(d, "model_final_checkpoint.ckpt"))
+
+
+def test_init_seq_from_pretrained(trained, tmp_path):
+    """--init_seq: start a new sequence from an existing trained model."""
+    from lifelong_nnunet_tpu.run.run_training import run_training
+    import lifelong_nnunet_tpu.paths as paths
+    results = paths.results_dir()
+    prev = os.path.join(results, "3d_fullres", "Task097_SynthA_Task098_SynthB",
+                        "Task097_SynthA",
+                        "nnUNetTrainerSequential__nnUNetPlansv2.1",
+                        "Generic_UNet", "SEQ", "fold_0",
+                        "model_final_checkpoint")
+    run_training("multihead",
+                 ["3d_fullres", "-t", "98", "-f", "0", "--init_seq",
+                  "-initialize_with_network_trainer", prev] + TINY)
+    d = os.path.join(results, "3d_fullres", "Task098_SynthB", "Task098_SynthB",
+                     "nnUNetTrainerMultiHead__nnUNetPlansv2.1",
+                     "Generic_UNet", "MH", "fold_0")
+    assert os.path.isfile(os.path.join(d, "model_final_checkpoint.ckpt"))
+    from lifelong_nnunet_tpu.training.restore import restore_trainer
+    tr = restore_trainer(os.path.join(d, "model_final_checkpoint"))
+    # both the original task's head and the new task's head exist
+    assert set(tr.mh.tasks) == {"Task097_SynthA", "Task098_SynthB"}
+
+
+def test_multi_fold_ensemble_inference(trained, tmp_path):
+    from lifelong_nnunet_tpu.run.run_training import run_training
+    from lifelong_nnunet_tpu.run.run_inference import run_inference
+    # train fold 1 as well (fold 0 exists from the `trained` fixture)
+    run_training("sequential", ["3d_fullres", "-t", "97", "98", "-f", "1"] + TINY)
+    inp = str(trained / "raw" / "nnUNet_raw_data" / "Task097_SynthA" / "imagesTr")
+    out = str(tmp_path / "ens")
+    run_inference(["3d_fullres", "sequential", "-i", inp, "-o", out,
+                   "-trained_on", "Task097_SynthA", "Task098_SynthB",
+                   "-f", "0", "1", "--disable_tta"])
+    assert len(os.listdir(out)) == 6
