@@ -27,6 +27,10 @@ class PatchSampler:
         stage directories into one pool."""
         assert len(cases) > 0, "empty case list"
         self.items = [(dataset, c) if isinstance(c, str) else tuple(c) for c in cases]
+        # native C++ gather engine (csrc/patch_gather.cpp): GIL-free threaded
+        # batch assembly; falls back to numpy when no toolchain is available
+        from . import native
+        self._native = native.get_lib() is not None
         self.patch_size = tuple(int(p) for p in patch_size)
         self.dim = len(self.patch_size)
         self.batch_size = int(batch_size)
@@ -46,7 +50,8 @@ class PatchSampler:
             return self._extract_nd(arr3, ds, case, force_fg, slice_z=z)
         return self._extract_nd(arr, ds, case, force_fg)
 
-    def _extract_nd(self, arr, ds, case: str, force_fg: bool, slice_z=None):
+    def _sample_origin(self, arr, ds, case: str, force_fg: bool, slice_z=None):
+        """Random (possibly out-of-volume) patch origin, force-fg aware."""
         spatial = arr.shape[1:]
         patch = self.patch_size
         if force_fg:
@@ -69,7 +74,12 @@ class PatchSampler:
             lo = [self.rng.randint(min(0, spatial[a] - patch[a]),
                                    max(1, spatial[a] - patch[a] + 1))
                   for a in range(len(patch))]
+        return lo
 
+    def _extract_nd(self, arr, ds, case: str, force_fg: bool, slice_z=None):
+        spatial = arr.shape[1:]
+        patch = self.patch_size
+        lo = self._sample_origin(arr, ds, case, force_fg, slice_z)
         # clamp so we never start beyond volume, allow negative (pad)
         pad_before, pad_after, sl = [], [], []
         for a in range(len(patch)):
@@ -86,6 +96,8 @@ class PatchSampler:
         return data, seg[0]
 
     def next_batch(self) -> dict:
+        if self.dim == 3 and self._native:
+            return self._next_batch_native()
         n_mod = None
         datas, segs, keys = [], [], []
         for i in range(self.batch_size):
@@ -101,6 +113,20 @@ class PatchSampler:
             "seg": np.stack(segs).astype(np.int8),
             "keys": keys,
         }
+
+    def _next_batch_native(self) -> dict:
+        from . import native
+        arrays, origins, keys = [], [], []
+        for i in range(self.batch_size):
+            ds, case = self.items[self.rng.randint(len(self.items))]
+            arr = ds.load(case)
+            lo = self._sample_origin(arr, ds, case, self._needs_fg(i))
+            arrays.append(arr)
+            origins.append(lo)
+            keys.append(case)
+        data, seg = native.gather_patches(arrays, np.asarray(origins, np.int64),
+                                          self.patch_size)
+        return {"data": data, "seg": seg, "keys": keys}
 
     def __iter__(self):
         return self
