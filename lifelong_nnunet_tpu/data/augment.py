@@ -53,6 +53,9 @@ class AugmentConfig:
     # (ops/shear_resample.py, no gathers — fast on TPU), 'gather' = direct
     # trilinear 8-corner gather, 'auto' = matmul on accelerators.
     spatial_mode: str = "auto"
+    # anisotropic volumes: rotate only in-plane (about the leading/coarsest
+    # axis) — nnU-Net's dummy-2D augmentation (plans.do_dummy_2d_aug)
+    dummy_2d: bool = False
 
 
 NO_AUGMENT = AugmentConfig(do_rotation=False, do_scaling=False, do_mirror=False,
@@ -136,6 +139,9 @@ def _sample_affine_params(key, dim, cfg: AugmentConfig):
     k_rot, k_rotp, k_scale, k_scalep = jax.random.split(key, 4)
     n_ang = 3 if dim == 3 else 1
     angles = jax.random.uniform(k_rot, (n_ang,), minval=-cfg.rot_max, maxval=cfg.rot_max)
+    if dim == 3 and cfg.dummy_2d:
+        # in-plane rotation only: about the leading (through-plane) axis
+        angles = angles * jnp.array([1.0, 0.0, 0.0])
     if cfg.do_rotation:
         do_r = jax.random.uniform(k_rotp) < cfg.p_rot
         angles = jnp.where(do_r, angles, jnp.zeros_like(angles))
@@ -153,26 +159,13 @@ def _sample_affine_params(key, dim, cfg: AugmentConfig):
 
 def _spatial_coords_from(key, g, patch, cfg: AugmentConfig):
     """Apply random rotation/scaling to an already-centered coordinate grid
-    ``g`` [dim, *patch]; returns the transformed centered grid."""
+    ``g`` [dim, *patch]; returns the transformed centered grid.  Shares the
+    parameter distributions with the matmul path (`_sample_affine_params`)."""
     dim = len(patch)
-    k_rot, k_rotp, k_scale, k_scalep = jax.random.split(key, 4)
-    if cfg.do_rotation:
-        if dim == 3:
-            angles = jax.random.uniform(k_rot, (3,), minval=-cfg.rot_max, maxval=cfg.rot_max)
-            rot = _rot_matrix_3d(angles)
-        else:
-            angle = jax.random.uniform(k_rot, (), minval=-cfg.rot_max, maxval=cfg.rot_max)
-            rot = _rot_matrix_2d(angle)
-        do = jax.random.uniform(k_rotp) < cfg.p_rot
-        rot = jnp.where(do, rot, jnp.eye(dim))
-        g = jnp.einsum("ij,j...->i...", rot, g)
-    if cfg.do_scaling:
-        sc = jax.random.uniform(k_scale, (), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
-        do = jax.random.uniform(k_scalep) < cfg.p_scale
-        # scale < 1 zooms IN (smaller sampled region); batchgenerators semantics
-        sc = jnp.where(do, sc, 1.0)
-        g = g * sc
-    return g
+    angles, scale = _sample_affine_params(key, dim, cfg)
+    rot = _rot_matrix_3d(angles) if dim == 3 else _rot_matrix_2d(angles[0])
+    g = jnp.einsum("ij,j...->i...", rot, g)
+    return g * scale
 
 
 def _gauss_kernel7(sigma):

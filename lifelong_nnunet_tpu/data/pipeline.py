@@ -30,9 +30,11 @@ class Prefetcher:
     def _worker(self):
         while not self._stop.is_set():
             batch = self.sampler.next_batch()
+            sh = self.sharding if isinstance(self.sharding, dict) else \
+                {"data": self.sharding, "seg": self.sharding}
             dev = {
-                "data": jax.device_put(batch["data"], self.sharding),
-                "seg": jax.device_put(batch["seg"], self.sharding),
+                "data": jax.device_put(batch["data"], sh.get("data")),
+                "seg": jax.device_put(batch["seg"], sh.get("seg")),
             }
             while not self._stop.is_set():
                 try:

@@ -93,6 +93,8 @@ def build_parser(extension: str) -> argparse.ArgumentParser:
     p.add_argument("-max_features", type=int, default=None)
     p.add_argument("-vit_depth", type=int, default=None,
                    help="shrink the ViT transformer (tests/quick experiments)")
+    p.add_argument("-n_devices", type=int, default=None,
+                   help="data-parallel devices (SPMD mesh; batch is sharded)")
     p.add_argument("--no_augment", action="store_true")
     for name, (typ, default) in METHOD_ARGS.get(extension, {}).items():
         if typ is bool:
@@ -147,7 +149,7 @@ def run_training(extension: str, argv=None):
             use_vit=args.use_vit, vit_version=f"V{args.vit_version}",
             vit_type=args.vit_type, vit_lsa=args.do_LSA, vit_spt=args.do_SPT,
             vit_task_specific_ln=args.task_specific_ln,
-            vit_depth_override=args.vit_depth)
+            vit_depth_override=args.vit_depth, n_devices=args.n_devices)
         meta_dir = metadata_folder(results, args.network, task_names, trainer_name,
                                    args.plans_identifier, transfer, **arch_kwargs)
 

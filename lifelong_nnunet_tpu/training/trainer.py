@@ -69,6 +69,10 @@ class TrainerOptions:
     base_num_features: int | None = None   # None -> plans value (tests shrink this)
     max_num_features: int | None = None
     # ViT backbone (Generic_ViT_UNet) flags — reference nnViTUNetTrainer.py:38-58
+    # SPMD scale-out: shard the batch over this many devices (data parallel;
+    # params replicated — GSPMD inserts the gradient all-reduce over ICI).
+    # None/1 = single device.  SURVEY.md §2.7: replaces the absent DDP.
+    n_devices: int | None = None
     use_vit: bool = False
     vit_version: str = "V1"
     vit_type: str = "base"
@@ -213,14 +217,36 @@ class MultiHeadTrainer:
             initial_lr=self.opts.initial_lr,
             trainable_mask=self.trainable_mask(),
         )
-        aug = AugmentConfig() if self.opts.augment else None
+        aug = AugmentConfig(dummy_2d=getattr(self.cfg, "do_dummy_2d_aug", False)) \
+            if self.opts.augment else None
         step_cfg = StepConfig(ds_factors=self.ds_factors, batch_dice=self.batch_dice,
                               num_classes=self.num_classes, augment=aug)
         self._train_step = make_train_step(self.model, self.tx, step_cfg,
                                            loss_extras=self.loss_extras(),
                                            cl_state_update=self.cl_state_update())
         self._eval_step = make_eval_step(self.model, step_cfg)
-        self.state = TrainState.create(self._wrap_params(self.mh.assemble()), self.tx)
+        params = self._wrap_params(self.mh.assemble())
+        self._batch_shardings = None
+        n_dev = self.opts.n_devices
+        if n_dev and n_dev > 1:
+            import jax as _jax
+            from ..parallel.mesh import batch_sharding, make_mesh, replicated
+            if len(_jax.devices()) < n_dev:
+                raise RuntimeError(f"n_devices={n_dev} but only "
+                                   f"{len(_jax.devices())} devices visible")
+            if self.batch_size % n_dev:
+                # round the batch up so it shards evenly
+                self.batch_size = -(-self.batch_size // n_dev) * n_dev
+            mesh = make_mesh(n_dev, data_parallel=n_dev, axis_names=("data", "model"))
+            rep = replicated(mesh)
+            params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+            dim = 2 + len(self.patch_size)
+            self._batch_shardings = {
+                "data": batch_sharding(mesh, dim),
+                "seg": batch_sharding(mesh, dim - 1),
+            }
+            self.logger(f"SPMD: {n_dev}-way data parallel mesh, batch {self.batch_size}")
+        self.state = TrainState.create(params, self.tx)
 
     def _maybe_update_vit_task_lns(self, task: str):
         """Task-specific ViT LayerNorms: extend the static ``ln_tasks`` tuple
@@ -298,7 +324,7 @@ class MultiHeadTrainer:
         self._update_manifest(start_training_on=task, checkpoint_should_exist=False)
 
         sampler = self._make_sampler(task, train=True, seed_offset=len(self.mh.tasks))
-        prefetch = Prefetcher(sampler)
+        prefetch = Prefetcher(sampler, sharding=self._batch_shardings)
         val_sampler = self._make_sampler(task, train=False, seed_offset=len(self.mh.tasks))
         try:
             for epoch in range(num_epochs):

@@ -145,3 +145,17 @@ def test_registry():
     assert get_trainer("nnUNetTrainerRehearsal") is RehearsalTrainer
     with pytest.raises(KeyError):
         get_trainer("nope")
+
+
+def test_data_parallel_mesh_training(two_tasks, tmp_path):
+    """8-way data-parallel SPMD training on the virtual CPU mesh."""
+    plans, stages = two_tasks
+    task = "Task097_SynthA"
+    tr = MultiHeadTrainer(plans, "3d_fullres", str(tmp_path / "dp"),
+                          small_opts(batch_size=8))
+    tr.opts.n_devices = 8
+    tr.train_task(task, stages[task], num_epochs=1)
+    assert tr.batch_size % 8 == 0
+    # params still assemble and validate after sharded training
+    res = tr._perform_validation()
+    assert task in res
