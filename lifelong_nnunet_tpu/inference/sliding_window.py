@@ -95,17 +95,22 @@ def _sliding_window_jit(params, data, origins, gaussian, apply_fn, num_classes,
     vol_shape = data.shape[:-1]
 
     def forward(x):
-        """x: [B, *patch, C] -> mean softmax over mirror combos [B, *patch, K]."""
+        """x: [B, *patch, C] -> mean softmax over mirror combos [B, *patch, K].
+        All flip variants are stacked into ONE forward batch (B*combos) so the
+        convs run at maximum batch instead of `combos` sequential passes."""
         combos = [c for r in range(len(mirror_axes) + 1)
                   for c in itertools.combinations(mirror_axes, r)]
+        if len(combos) == 1:
+            return jax.nn.softmax(apply_fn(params, x)[0].astype(jnp.float32), axis=-1)
+        variants = [jnp.flip(x, axis=[a + 1 for a in c]) if c else x for c in combos]
+        big = jnp.concatenate(variants, axis=0)
+        logits = apply_fn(params, big)[0].astype(jnp.float32)
+        parts = jnp.split(logits, len(combos), axis=0)
         acc = 0.0
-        for combo in combos:
-            axes = [a + 1 for a in combo]
-            xi = jnp.flip(x, axis=axes) if combo else x
-            logits = apply_fn(params, xi)[0]
+        for combo, part in zip(combos, parts):
             if combo:
-                logits = jnp.flip(logits, axis=axes)
-            acc = acc + jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                part = jnp.flip(part, axis=[a + 1 for a in combo])
+            acc = acc + jax.nn.softmax(part, axis=-1)
         return acc / len(combos)
 
     def gather_window(origin):

@@ -164,6 +164,15 @@ class MultiHeadParams:
         return list(self.heads.keys())
 
 
+def replace_params(params, predicate, fn):
+    """Functional counterpart of the reference's ``replace_layers`` utility
+    (``MultiHead_Module.py:544-572``, swapping layer types in-place): map
+    ``fn`` over every leaf whose path satisfies ``predicate(path)``; other
+    leaves are returned untouched.  Returns a new tree (no mutation)."""
+    flat = flatten(params)
+    return unflatten({p: (fn(v) if predicate(p) else v) for p, v in flat.items()})
+
+
 def name_filter_mask(params, substrings: list, include: bool):
     """Boolean pytree selecting leaves whose path contains ALL substrings
     (include=True) or the complement (include=False).  Replaces the

@@ -45,6 +45,8 @@ def build_parser(two: bool) -> argparse.ArgumentParser:
         p.add_argument("-chk", default="model_final_checkpoint")
         p.add_argument("--no_delete", action="store_true")
         p.add_argument("--disable_tta", action="store_true")
+        p.add_argument("--evaluate_initialization", action="store_true",
+                       help="evaluate the 'before_training' checkpoint")
     return p
 
 
@@ -97,7 +99,8 @@ def run_evaluation2_cli(argv=None):
     raw = paths.require(paths.raw_data_dir(create=False), "raw data")
     for fold in args.folds:
         folder_ckpt = _locate_model(args, results, fold)
-        base = os.path.join(os.path.dirname(folder_ckpt), args.chk)
+        chk = "before_training" if args.evaluate_initialization else args.chk
+        base = os.path.join(os.path.dirname(folder_ckpt), chk)
         if not os.path.isfile(base + ".ckpt"):
             base = folder_ckpt
         raw_dirs = {os.path.basename(resolve_task(t, raw)): resolve_task(t, raw)

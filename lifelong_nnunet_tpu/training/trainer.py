@@ -73,6 +73,9 @@ class TrainerOptions:
     # params replicated — GSPMD inserts the gradient all-reduce over ICI).
     # None/1 = single device.  SURVEY.md §2.7: replaces the absent DDP.
     n_devices: int | None = None
+    # write a jax.profiler trace of the first training epoch to this dir
+    # (SURVEY.md §5: the reference has no profiler; we make one first-class)
+    profile_dir: str | None = None
     use_vit: bool = False
     vit_version: str = "V1"
     vit_type: str = "base"
@@ -323,6 +326,12 @@ class MultiHeadTrainer:
         self._build_step()
         self._update_manifest(start_training_on=task, checkpoint_should_exist=False)
 
+        # 'before_training' checkpoint: evaluator2's -evaluate_initialization
+        # compares against the model before this task's training (reference
+        # evaluator2.py:111-240). Multi-phase trainers (LwF) suppress the
+        # overwrite in later phases.
+        if not getattr(self, "_skip_before_ckpt", False):
+            self.save_checkpoint("before_training")
         sampler = self._make_sampler(task, train=True, seed_offset=len(self.mh.tasks))
         prefetch = Prefetcher(sampler, sharding=self._batch_shardings)
         val_sampler = self._make_sampler(task, train=False, seed_offset=len(self.mh.tasks))
@@ -330,6 +339,8 @@ class MultiHeadTrainer:
             for epoch in range(num_epochs):
                 self.epoch = epoch
                 t0 = time.time()
+                if epoch == 0 and self.opts.profile_dir:
+                    jax.profiler.start_trace(self.opts.profile_dir)
                 tr_losses = []
                 for _ in range(self.opts.iters_per_epoch):
                     batch, _keys = prefetch.next()
@@ -338,6 +349,9 @@ class MultiHeadTrainer:
                         self.state, self.cl_state, batch, step_key)
                     tr_losses.append(metrics["loss"])
                     self.global_step += 1
+                if epoch == 0 and self.opts.profile_dir:
+                    jax.profiler.stop_trace()
+                    self.logger(f"profiler trace -> {self.opts.profile_dir}")
                 tr_loss = float(jnp.mean(jnp.stack(tr_losses)))
                 val_loss, val_dice = self._quick_val(val_sampler)
                 self.logger(f"[{task}] epoch {epoch}: train {tr_loss:.4f} "

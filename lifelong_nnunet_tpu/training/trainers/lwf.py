@@ -84,6 +84,7 @@ class LwFTrainer(MultiHeadTrainer):
         super().train_task(task, stage_dir, num_epochs=fe)
         self._suppress_finalize = False
         self.save_checkpoint("model_freezed")
+        self._skip_before_ckpt = True  # phase 2 must not overwrite before_training
         # Phase 2: snapshot old models, joint training with distillation
         self._freeze_body = False
         self._joint_phase = True
@@ -94,6 +95,7 @@ class LwFTrainer(MultiHeadTrainer):
         super().train_task(task, stage_dir, num_epochs)
         # write trained prev heads back into the registry
         self._joint_phase = False
+        self._skip_before_ckpt = False
 
     def trainable_mask(self):
         if getattr(self, "_freeze_body", False):
