@@ -40,6 +40,12 @@ class AugmentConfig:
     scale_range: tuple = (0.7, 1.4)
     do_mirror: bool = True
     mirror_axes: tuple = (0, 1, 2)
+    # elastic deformation (batchgenerators surface; nnU-Net's moreDA config
+    # disables it by default — upstream nnUNetTrainerV2 sets do_elastic=False)
+    do_elastic: bool = False
+    p_eldef: float = 0.2
+    elastic_magnitude: tuple = (0.0, 6.0)   # voxels of max displacement
+    elastic_grid: int = 4                   # coarse-noise downscale factor
     p_noise: float = 0.1
     p_blur: float = 0.2
     blur_sigma: tuple = (0.5, 1.0)
@@ -205,7 +211,7 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
     # affine map — equivalent to nearest-downsample + linear-upsample of the
     # transformed image, but composed into the same resample (saves a full
     # pass vs the reference's separate transform).
-    if cfg.do_rotation or cfg.do_scaling or cfg.p_lowres > 0:
+    if cfg.do_rotation or cfg.do_scaling or cfg.p_lowres > 0 or cfg.do_elastic:
         if cfg.p_lowres > 0:
             f = jax.random.uniform(keys[1], (), minval=1.0, maxval=2.0)  # zoom 0.5..1
             do_lr = jax.random.uniform(keys[2]) < cfg.p_lowres
@@ -214,6 +220,9 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
             f = None
         use_matmul = cfg.spatial_mode == "matmul" or (
             cfg.spatial_mode == "auto" and jax.default_backend() != "cpu")
+        if cfg.do_elastic:
+            # elastic fields are not shear-decomposable -> gather path
+            use_matmul = False
         if use_matmul:
             from ..ops.shear_resample import affine_resample_shear
             angles, scale = _sample_affine_params(keys[0], dim, cfg)
@@ -228,6 +237,17 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
                 coords = _spatial_coords_from(keys[0], snapped - center, patch, cfg) + center
             else:
                 coords = jnp.floor(_base_grid(patch) / fv) * fv
+            if cfg.do_elastic:
+                k_e, k_ep = jax.random.split(jax.random.fold_in(keys[0], 7))
+                mag = jax.random.uniform(k_e, (), minval=cfg.elastic_magnitude[0],
+                                         maxval=cfg.elastic_magnitude[1])
+                do_e = jax.random.uniform(k_ep) < cfg.p_eldef
+                coarse = [max(2, s // cfg.elastic_grid) for s in patch]
+                noise = jax.random.uniform(jax.random.fold_in(k_e, 1),
+                                           (dim,) + tuple(coarse),
+                                           minval=-1.0, maxval=1.0)
+                disp = jax.image.resize(noise, (dim,) + tuple(patch), method="cubic")
+                coords = coords + jnp.where(do_e, mag, 0.0) * disp
             data = sample_linear(data, coords, cval=0.0)
             seg = sample_nearest(seg.astype(jnp.float32), coords, cval=-1.0).astype(jnp.int8)
 

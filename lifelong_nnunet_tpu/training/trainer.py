@@ -131,6 +131,8 @@ class MultiHeadTrainer:
             # ViT batch-size halving (reference multihead/…:283-292)
             self.batch_size = max(1, self.batch_size // 2)
 
+        # input channels: modalities (+ one-hot prev-stage seg for cascade)
+        self.in_channels = plans.num_modalities
         self.mh: MultiHeadParams | None = None
         self.state: TrainState | None = None
         self.cl_state = self.init_cl_state()
@@ -205,7 +207,7 @@ class MultiHeadTrainer:
     def _ensure_initialized(self, task: str):
         if self.mh is not None:
             return
-        dummy = jnp.zeros((1,) + self.patch_size + (self.plans.num_modalities,),
+        dummy = jnp.zeros((1,) + self.patch_size + (self.in_channels,),
                           jnp.float32)
         params = self.model.init(jax.random.PRNGKey(self.opts.seed), dummy)["params"]
         self.mh = MultiHeadParams.create(params, self.opts.split_at,
@@ -265,7 +267,7 @@ class MultiHeadTrainer:
                 and getattr(self.model, "active_task_idx", 0) == idx:
             return
         self.model = self.model.clone(ln_tasks=tasks, active_task_idx=idx)
-        dummy = jnp.zeros((1,) + self.patch_size + (self.plans.num_modalities,),
+        dummy = jnp.zeros((1,) + self.patch_size + (self.in_channels,),
                           jnp.float32)
         fresh = _flat(self.model.init(jax.random.PRNGKey(self.opts.seed + idx),
                                       dummy)["params"])

@@ -1,6 +1,8 @@
 """M4/M5 integration tests: every CL trainer runs a 2-task sequence and its
 method-specific state behaves as specified."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -153,3 +155,49 @@ def test_registry_covers_all_reference_extensions():
                 "frozen_vit", "frozen_nonln", "frozen_unet", "frozen_body_seq",
                 "froz_ewc", "ownm1", "ownm2", "ownm3", "ownm4"}
     assert expected <= set(TRAINER_MAP)
+
+
+def test_elastic_augmentation_field():
+    """Elastic alone (all other transforms off) must displace by a smooth,
+    magnitude-bounded field — regression for the gating bug where elastic was
+    skipped unless rotation/scaling were enabled."""
+    import jax
+    import jax.numpy as jnp
+    from dataclasses import replace
+    from lifelong_nnunet_tpu.data.augment import NO_AUGMENT, augment_batch
+    ramp = np.tile(np.linspace(0, 1, 32)[None, :, None, None, None],
+                   (1, 1, 32, 32, 1)).astype(np.float32)
+    data = jnp.asarray(ramp)
+    seg = jnp.zeros((1, 32, 32, 32), jnp.int8)
+    cfg = replace(NO_AUGMENT, do_elastic=True, p_eldef=1.0,
+                  elastic_magnitude=(4.0, 4.0))
+    d, s = augment_batch(jax.random.PRNGKey(3), data, seg, cfg)
+    disp = ((np.asarray(d) - ramp)[0, ..., 0] * 31)[6:-6, 6:-6, 6:-6]
+    assert np.abs(disp).mean() > 0.5          # field actually applied
+    assert np.abs(disp).max() < 6.0           # bounded (cap 4 + interp overshoot)
+    assert np.abs(np.diff(disp, axis=0)).mean() < 1.0  # smooth
+
+
+def test_cascade_stage(two_tasks, tmp_path):
+    """lowres model -> prepare cascade stage -> fullres cascade trainer."""
+    from lifelong_nnunet_tpu.inference.cascade import (CascadeFullResTrainer,
+                                                       prepare_cascade_stage)
+    plans, stages = two_tasks
+    tA = TASKS[0]
+    # stage-1 "lowres" model: reuse the 3d_fullres stage as a stand-in
+    from lifelong_nnunet_tpu.training.trainers import SequentialTrainer
+    tr_low = SequentialTrainer(plans, "3d_fullres", str(tmp_path / "low"), small_opts())
+    tr_low.train_task(tA, stages[tA])
+    cascade_dir = str(tmp_path / "cascade_stage")
+    written = prepare_cascade_stage(
+        str(tmp_path / "low" / "model_final_checkpoint"),
+        stages[tA], stages[tA], cascade_dir)
+    assert len(written) == 6
+    arr = np.load(os.path.join(cascade_dir, written[0] + ".npy"))
+    assert arr.shape[0] == 1 + 2 + 1  # modality + 2 fg one-hot + seg
+    assert set(np.unique(arr[1])).issubset({0.0, 1.0})
+    tr2 = CascadeFullResTrainer(plans, "3d_fullres", str(tmp_path / "full"),
+                                small_opts())
+    tr2.train_task(tA, cascade_dir)
+    assert tr2.in_channels == 3
+    assert (tmp_path / "full" / "model_final_checkpoint.ckpt").is_file()
