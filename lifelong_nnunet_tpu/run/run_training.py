@@ -155,6 +155,7 @@ def run_training(extension: str, argv=None):
 
         trainer = None
         finished: list = []
+        resume_task, resume_epoch = None, 0
         if args.continue_training:
             manifest_file = os.path.join(meta_dir, f"{extension}_trained_on.json")
             if os.path.isfile(manifest_file):
@@ -162,7 +163,24 @@ def run_training(extension: str, argv=None):
                 with open(manifest_file) as f:
                     trained_on = json.load(f).get(str(fold), {})
                 finished = trained_on.get("finished_training_on", [])
-                if finished:
+                in_progress = trained_on.get("start_training_on")
+                # mid-task resume: a task was interrupted -> continue it from
+                # model_latest (params + optimizer momentum + epoch)
+                if in_progress and in_progress in task_names:
+                    prog_dir = build_output_folder(
+                        results, args.network, task_names,
+                        task_names[: task_names.index(in_progress) + 1],
+                        trainer_name, args.plans_identifier, fold, transfer,
+                        **arch_kwargs)
+                    ckpt = find_checkpoint(prog_dir, prefer="model_latest")
+                    if ckpt and ckpt.endswith("model_latest"):
+                        trainer = restore_trainer(ckpt, opts, restore_opt=True)
+                        trainer.already_trained_on = {str(fold): trained_on}
+                        resume_task = in_progress
+                        resume_epoch = trainer.epoch + 1
+                        print(f"[fold {fold}] resuming {in_progress} at epoch "
+                              f"{resume_epoch} from {ckpt}")
+                if trainer is None and finished:
                     last_dir = build_output_folder(
                         results, args.network, task_names,
                         task_names[: task_names.index(finished[-1]) + 1],
@@ -199,7 +217,8 @@ def run_training(extension: str, argv=None):
                 trainer_name, args.plans_identifier, fold, transfer, **arch_kwargs)
             trainer.set_output_folder(out_dir)
             stage = stage_dir_for(pre, task, args.network)
-            trainer.train_task(task, stage)
+            start = resume_epoch if task == resume_task else 0
+            trainer.train_task(task, stage, start_epoch=start)
             print(f"[fold {fold}] finished {task} -> {out_dir}")
 
         if args.disable_saving:

@@ -252,6 +252,16 @@ class MultiHeadTrainer:
             }
             self.logger(f"SPMD: {n_dev}-way data parallel mesh, batch {self.batch_size}")
         self.state = TrainState.create(params, self.tx)
+        # mid-task resume: adopt the state (params + optimizer momentum)
+        # restored by load_checkpoint instead of the fresh one
+        resume = getattr(self, "_resume_state", None)
+        if resume is not None:
+            try:
+                jax.tree.map(lambda a, b: None, resume.params, self.state.params)
+                self.state = resume
+            except ValueError:
+                self.logger("resume state structure mismatch — starting fresh optimizer")
+            self._resume_state = None
 
     def _maybe_update_vit_task_lns(self, task: str):
         """Task-specific ViT LayerNorms: extend the static ``ln_tasks`` tuple
@@ -312,10 +322,12 @@ class MultiHeadTrainer:
             json.dump(self.already_trained_on, f, indent=2)
 
     # -------------------------------------------------------------- training
-    def train_task(self, task: str, stage_dir: str, num_epochs: int | None = None):
+    def train_task(self, task: str, stage_dir: str, num_epochs: int | None = None,
+                   start_epoch: int = 0):
         """Train on one task (the reference's per-task ``run_training``,
         ``multihead/…:520-596``): register data, add/activate head, epoch loop,
-        checkpoints, manifest updates, after-task CL hook."""
+        checkpoints, manifest updates, after-task CL hook.  ``start_epoch``
+        continues an interrupted task from a restored ``model_latest``."""
         num_epochs = num_epochs or self.opts.num_epochs
         self.register_task_data(task, stage_dir)
         self._ensure_initialized(task)
@@ -338,7 +350,7 @@ class MultiHeadTrainer:
         prefetch = Prefetcher(sampler, sharding=self._batch_shardings)
         val_sampler = self._make_sampler(task, train=False, seed_offset=len(self.mh.tasks))
         try:
-            for epoch in range(num_epochs):
+            for epoch in range(start_epoch, num_epochs):
                 self.epoch = epoch
                 t0 = time.time()
                 if epoch == 0 and self.opts.profile_dir:
@@ -540,4 +552,8 @@ class MultiHeadTrainer:
                 self.cl_state = checkpoints.restore_into(template, blob["cl_state"])
             except Exception:
                 self.cl_state = blob["cl_state"]
+        if restore_opt:
+            # keep the restored optimizer state across the _build_step a
+            # subsequent train_task(..., start_epoch=N) performs
+            self._resume_state = self.state
         return manifest

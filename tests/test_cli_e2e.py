@@ -211,3 +211,38 @@ def test_multi_fold_ensemble_inference(trained, tmp_path):
                    "-trained_on", "Task097_SynthA", "Task098_SynthB",
                    "-f", "0", "1", "--disable_tta"])
     assert len(os.listdir(out)) == 6
+
+
+def test_mid_task_resume(preprocessed, capsys):
+    """Interrupted-task continuation: -c resumes from model_latest with the
+    saved epoch and optimizer state."""
+    import json as _json
+    from lifelong_nnunet_tpu.run.run_training import run_training
+    import lifelong_nnunet_tpu.paths as paths
+    args = ["3d_fullres", "-t", "97", "-f", "0", "-num_epochs", "2",
+            "-num_iters", "2", "-val_iters", "1", "-save_interval", "1",
+            "-patch_size", "16", "16", "16", "-batch_size", "2",
+            "-base_features", "4", "-max_features", "16", "--no_augment",
+            "--fp32"]
+    run_training("ewc", args)
+    results = paths.results_dir()
+    meta = os.path.join(results, "3d_fullres", "Task097_SynthA", "metadata",
+                        "nnUNetTrainerEWC__nnUNetPlansv2.1", "Generic_UNet",
+                        "MH", "ewc_trained_on.json")
+    # simulate an interruption: pretend the task never finished
+    with open(meta) as f:
+        m = _json.load(f)
+    m["0"]["finished_training_on"] = []
+    m["0"]["start_training_on"] = "Task097_SynthA"
+    with open(meta, "w") as f:
+        _json.dump(m, f)
+    capsys.readouterr()
+    run_training("ewc", args[:5] + ["-num_epochs", "4"] + args[7:] + ["-c"])
+    out = capsys.readouterr().out
+    assert "resuming Task097_SynthA at epoch 2" in out
+    d = os.path.join(results, "3d_fullres", "Task097_SynthA", "Task097_SynthA",
+                     "nnUNetTrainerEWC__nnUNetPlansv2.1", "Generic_UNet", "MH",
+                     "fold_0")
+    with open(os.path.join(d, "model_final_checkpoint.json")) as f:
+        man = _json.load(f)
+    assert man["epoch"] == 3  # trained epochs 2..3 after resume
