@@ -73,7 +73,6 @@ class Evaluator:
     def _write_model_summary(self, output_folder: str):
         """Parameter counts / model size (reference evaluator.py:202-235,
         helpful_functions.py:302-326)."""
-        import jax
         mh = self.trainer.mh
         body_params = sum(int(np.prod(v.shape)) for v in mh.body.values())
         rows = [{"part": "body", "num_params": body_params,

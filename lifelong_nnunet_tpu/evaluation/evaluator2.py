@@ -18,7 +18,6 @@ import numpy as np
 
 from ..evaluation.metrics import subject_metrics
 from ..inference.predict import predict_from_folder
-from ..planning.fingerprint import list_cases
 from ..training.restore import restore_trainer
 from ..utilities.nifti import read as nifti_read
 

@@ -12,8 +12,6 @@ All functions are pure and jit-safe.  ``target`` is integer class labels
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -27,18 +27,16 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.augment import NO_AUGMENT, AugmentConfig
+from ..data.augment import AugmentConfig
 from ..data.dataset import PreprocessedDataset, kfold_split, param_search_split
 from ..data.pipeline import Prefetcher
 from ..data.sampler import PatchSampler
-from ..evaluation.metrics import dice_from_counts, iou_from_counts
 from ..inference.sliding_window import bucket_shape, predict_sliding_window
 from ..models.multihead import MultiHeadParams
 from ..models.unet import ds_scale_factors, unet_from_plans

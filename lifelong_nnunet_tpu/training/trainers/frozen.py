@@ -20,7 +20,6 @@ from __future__ import annotations
 import math
 
 from ...models.multihead import flatten, name_filter_mask, unflatten
-from ..trainer import MultiHeadTrainer
 from .ewc import EWCTrainer
 from .sequential import SequentialTrainer
 

@@ -22,8 +22,6 @@ distillation gradients flow into every head): the step's param tree is
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import optax
