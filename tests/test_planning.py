@@ -97,3 +97,28 @@ def test_preprocess_task(synthetic_task, tmp_path):
         assert props["resampled_shape"] == list(seg.shape)
         locs = np.load(os.path.join(stage, f"{case}.classlocs.npz"))
         assert "1" in locs and "2" in locs
+
+
+def test_3d_lowres_planned_for_large_datasets():
+    """Datasets whose median volume greatly exceeds the patch budget get a
+    3d_lowres configuration (nnU-Net rule)."""
+    cases = [f"c{i}" for i in range(10)]
+    fp = {
+        "task": "Task900_Big", "modalities": {0: "CT"},
+        "labels": {0: "bg", 1: "organ"}, "all_classes": [1],
+        "cases": cases,
+        "shapes_after_crop": {c: (512, 512, 512) for c in cases},
+        "spacings": {c: (1.0, 1.0, 1.0) for c in cases},
+        "size_reductions": {c: 1.0 for c in cases},
+        "intensity_properties": {0: {"mean": 0.0, "sd": 1.0,
+                                     "percentile_00_5": -100.0,
+                                     "percentile_99_5": 100.0,
+                                     "median": 0.0, "min": -1000.0,
+                                     "max": 1000.0}},
+    }
+    plans = plan_experiment(fp)
+    assert "3d_lowres" in plans.configurations
+    low = plans.config("3d_lowres")
+    full = plans.config("3d_fullres")
+    assert np.prod(low.spacing) > np.prod(full.spacing)  # coarser voxels
+    assert all(p <= 256 for p in full.patch_size)  # budget respected
