@@ -57,7 +57,10 @@ def run_inference(argv=None):
         head = args.use_head or trainer.mh.tasks[-1]
         params_per_fold.append(trainer.mh.assemble(head))
     apply_fn = lambda p, x: trainer.model.apply({"params": p}, x)
-    post = trainer.plans.all_classes if args.postprocess else None
+    post = None
+    if args.postprocess:
+        from ..inference.postprocessing import load_postprocessing
+        post = load_postprocessing(os.path.dirname(base)) or trainer.plans.all_classes
     written = predict_from_folder(
         apply_fn, params_per_fold, trainer.plans, trainer.config_name,
         args.input_folder, args.output_folder,

@@ -117,3 +117,29 @@ def test_largest_component():
     assert out[2, 2, 2] == 1
     assert out[8, 8, 8] == 0     # small removed
     assert out[5, 5, 5] == 2     # other class untouched
+
+
+def test_determine_postprocessing(tmp_path):
+    from lifelong_nnunet_tpu.inference.postprocessing import (
+        determine_postprocessing, load_postprocessing)
+    from lifelong_nnunet_tpu.training.trainer import MultiHeadTrainer, TrainerOptions
+    from lifelong_nnunet_tpu.planning.fingerprint import analyze_dataset
+    from lifelong_nnunet_tpu.planning.plans import plan_experiment
+    from lifelong_nnunet_tpu.planning.preprocess import preprocess_task
+    from tests.synthetic import make_synthetic_task
+    td = make_synthetic_task(str(tmp_path / "raw"), num_cases=5, seed=0)
+    plans = plan_experiment(analyze_dataset(td))
+    stage = preprocess_task(td, plans, str(tmp_path / "pre"),
+                            configs=("3d_fullres",))["3d_fullres"]
+    opts = TrainerOptions(num_epochs=2, iters_per_epoch=8, val_iters=1,
+                          save_every=5, batch_size=2, patch_size=(16, 16, 16),
+                          augment=False, dtype="float32", base_num_features=8,
+                          max_num_features=32)
+    tr = MultiHeadTrainer(plans, "3d_fullres", str(tmp_path / "run"), opts)
+    tr.train_task("Task097_SynthA", stage)
+    decision = determine_postprocessing(tr, "Task097_SynthA")
+    assert set(decision) == {"for_which_classes", "dice_raw", "dice_pp"}
+    assert set(decision["dice_raw"]) == {1, 2}
+    loaded = load_postprocessing(tr.output_folder)
+    assert loaded == (decision["for_which_classes"] or None)
+    assert load_postprocessing(str(tmp_path)) is None
