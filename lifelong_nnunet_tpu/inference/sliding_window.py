@@ -29,6 +29,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _cached_grid(image_size: tuple, patch_size: tuple, step_fraction: float,
+                 window_batch: int):
+    """Origins (padded to a window_batch multiple) for a padded-volume shape —
+    pure function of shapes, cached across the volume stream."""
+    steps = compute_steps(image_size, patch_size, step_fraction)
+    origins = np.array(list(itertools.product(*steps)), dtype=np.int32)
+    wb = max(1, min(window_batch, len(origins)))
+    rem = (-len(origins)) % wb
+    if rem:
+        origins = np.concatenate([origins, np.repeat(origins[:1], rem, axis=0)])
+    return origins, wb
+
+
 def compute_steps(image_size, patch_size, step_fraction: float = 0.5) -> list:
     """Window origins per axis: evenly spaced, spacing <= patch*step_fraction,
     first at 0 and last flush with the volume end (nnU-Net grid)."""
@@ -44,9 +61,12 @@ def compute_steps(image_size, patch_size, step_fraction: float = 0.5) -> list:
     return steps
 
 
+@lru_cache(maxsize=16)
 def gaussian_importance_map(patch_size, sigma_scale: float = 1 / 8) -> np.ndarray:
     """Gaussian centered in the patch, normalized to max 1, zero-floor lifted
-    to the smallest positive value (so every voxel gets weight)."""
+    to the smallest positive value (so every voxel gets weight). Cached —
+    recomputing the scipy filter cost ~7 ms per volume in traces."""
+    patch_size = tuple(int(p) for p in patch_size)
     tmp = np.zeros(patch_size, dtype=np.float64)
     center = tuple(s // 2 for s in patch_size)
     tmp[center] = 1.0
@@ -153,16 +173,12 @@ def _sliding_window_jit(params, data, origins, gaussian, apply_fn, num_classes,
 
 def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
     padded, undo = pad_to_min(np.asarray(data), patch_size)
-    steps = compute_steps(padded.shape[:-1], patch_size, step_fraction)
-    origins = np.array(list(itertools.product(*steps)), dtype=np.int32)
-    wb = max(1, min(window_batch, len(origins)))
-    # pad origin list to a multiple of wb by repeating origin 0 — the gaussian
+    # origin-list padding to a multiple of wb repeats origin 0 — the gaussian
     # weight accumulates identically for prob and weight sums, so duplicates
     # cancel in the normalization.
-    rem = (-len(origins)) % wb
-    if rem:
-        origins = np.concatenate([origins, np.repeat(origins[:1], rem, axis=0)])
-    gaussian = (gaussian_importance_map(patch_size) if use_gaussian
+    origins, wb = _cached_grid(tuple(padded.shape[:-1]), tuple(patch_size),
+                               step_fraction, window_batch)
+    gaussian = (gaussian_importance_map(tuple(patch_size)) if use_gaussian
                 else np.ones(patch_size, np.float32))
     return padded, undo, origins, wb, gaussian
 
