@@ -159,3 +159,23 @@ def test_data_parallel_mesh_training(two_tasks, tmp_path):
     # params still assemble and validate after sharded training
     res = tr._perform_validation()
     assert task in res
+
+
+@pytest.mark.parametrize("ext,kw", [("ewc", {"ewc_lambda": 0.3}),
+                                    ("rw", {}), ("mib", {}),
+                                    ("rehearsal", {}), ("plop", {})])
+def test_restore_roundtrip_all_methods(two_tasks, tmp_path, ext, kw):
+    """Every CL trainer restores from its checkpoint into the same class with
+    identical assembled params (reference restore matrix, SURVEY.md §4)."""
+    from lifelong_nnunet_tpu.training.restore import restore_trainer
+    from lifelong_nnunet_tpu.training.trainers import get_trainer
+    plans, stages = two_tasks
+    task = "Task097_SynthA"
+    cls = get_trainer(ext)
+    tr = cls(plans, "3d_fullres", str(tmp_path / ext), small_opts(), **kw)
+    tr.train_task(task, stages[task], num_epochs=1)
+    tr2 = restore_trainer(str(tmp_path / ext / "model_final_checkpoint"))
+    assert type(tr2) is cls
+    assert equal_params(tr.mh.assemble(task), tr2.mh.assemble(task))
+    for k, v in tr.hyperparams.items():
+        assert str(tr2.hyperparams.get(k)) == str(v)
