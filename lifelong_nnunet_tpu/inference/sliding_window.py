@@ -214,6 +214,61 @@ def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
     return out[undo]
 
 
+def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
+                                   num_classes: int, mesh=None,
+                                   mirror_axes=(0, 1, 2),
+                                   step_fraction: float = 0.5,
+                                   window_batch: int = 8,
+                                   output: str = "seg", input_bf16: bool = True):
+    """Multi-chip serving: volumes sharded one-per-device over the mesh's
+    'data' axis; every device runs the full single-volume sliding-window core
+    on its shard (shard_map), params replicated.  This scales volume
+    throughput ~linearly with chips without the batched-scatter slowdown a
+    vmapped core exhibits.  Volumes must share their padded shape."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import make_mesh
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    mesh = mesh or make_mesh(data_parallel=len(jax.devices()))
+    n_dev = mesh.shape["data"]
+    patch_size = tuple(int(p) for p in patch_size)
+    prepped = [_prepare(v, patch_size, step_fraction, window_batch, True)
+               for v in volumes]
+    shapes = {p[0].shape for p in prepped}
+    assert len(shapes) == 1, f"volumes must share padded shape, got {shapes}"
+    undo = prepped[0][1]
+    origins, wb, gaussian = prepped[0][2], prepped[0][3], prepped[0][4]
+    dtype = jnp.bfloat16 if input_bf16 else np.float32
+    stack = np.stack([p[0] for p in prepped]).astype(dtype)
+    # pad the volume batch to a multiple of the device count
+    rem = (-len(stack)) % n_dev
+    if rem:
+        stack = np.concatenate([stack, np.repeat(stack[:1], rem, axis=0)])
+    origins_d = jnp.asarray(origins)
+    gaussian_d = jnp.asarray(gaussian)
+
+    def per_device(vols_shard):  # [B/n_dev, *vol, C]
+        def one(v):
+            return _sliding_window_jit(params, v, origins_d, gaussian_d,
+                                       apply_fn, num_classes, wb, patch_size,
+                                       tuple(mirror_axes), output)
+        return jax.lax.map(one, vols_shard)
+
+    spec = P("data", *([None] * (stack.ndim - 1)))
+    fn = shard_map(
+        per_device, mesh=mesh, in_specs=spec,
+        out_specs=P("data", *([None] * (stack.ndim - (1 if output == "seg" else 0) - 1))),
+        check_vma=False)
+    with mesh:
+        dev_stack = jax.device_put(stack, NamedSharding(mesh, spec))
+        out = np.asarray(jax.jit(fn)(dev_stack))
+    if output == "probs_bf16":
+        out = out.astype(np.float32)
+    return [out[i][undo] for i in range(len(volumes))]
+
+
 def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
                                  num_classes: int, mirror_axes=(0, 1, 2),
                                  step_fraction: float = 0.5, window_batch: int = 4,

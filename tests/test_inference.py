@@ -143,3 +143,24 @@ def test_determine_postprocessing(tmp_path):
     loaded = load_postprocessing(tr.output_folder)
     assert loaded == (decision["for_which_classes"] or None)
     assert load_postprocessing(str(tmp_path)) is None
+
+
+def test_sharded_multi_volume_inference():
+    """shard_map serving path: one volume per device over the 8-way CPU mesh,
+    identical results to the single-volume path."""
+    from lifelong_nnunet_tpu.inference.sliding_window import (
+        predict_sliding_window_sharded)
+    from lifelong_nnunet_tpu.parallel.mesh import make_mesh
+    params = {"w": jnp.asarray(2.0)}
+    rng = np.random.RandomState(0)
+    vols = [rng.rand(20, 20, 20, 1).astype(np.float32) for _ in range(5)]
+    mesh = make_mesh(8, data_parallel=8)
+    segs = predict_sliding_window_sharded(
+        _const_apply, params, vols, (16, 16, 16), 2, mesh=mesh,
+        mirror_axes=(), input_bf16=False)
+    assert len(segs) == 5
+    for v, s in zip(vols, segs):
+        ref = predict_sliding_window(_const_apply, params, v, (16, 16, 16), 2,
+                                     mirror_axes=(), output="seg")
+        assert s.shape == (20, 20, 20)
+        np.testing.assert_array_equal(s, ref)
