@@ -10,9 +10,11 @@ Counterpart of ``nnunet_ext/parameter_search/param_searcher.py``:
   * joined ``parameter_search_val_summary.csv`` (``:378-407``)
 
 The reference parallelizes experiments across GPUs with one process per
-experiment (``:276-357``); on a TPU pod the analogous axis is one experiment
-per host/chip slice — exposed via ``run_in_processes`` (each subprocess gets
-its own JAX runtime), sequential by default on a single chip.
+experiment (``:276-357``); the analog here is ``start_searching(n_workers=N)``
+— experiments run in spawned subprocesses, each with its own JAX runtime
+(on a TPU pod: one experiment per host/slice; a single chip serializes, so
+parallel workers there should force the CPU backend via ``worker_env``).
+Sequential by default.
 """
 
 from __future__ import annotations
@@ -26,6 +28,24 @@ import numpy as np
 
 from ..training.trainer import TrainerOptions
 from .experiment import Experiment
+
+
+def _experiment_worker(spec: dict) -> dict:
+    """Subprocess entry (spawn-safe, module-level): rebuild the Experiment
+    from a serialized spec and run it with an isolated JAX runtime."""
+    import os
+    for k, v in spec.get("env", {}).items():
+        os.environ[k] = str(v)
+    import jax as _jax
+    if spec.get("env", {}).get("JAX_PLATFORMS") == "cpu":
+        _jax.config.update("jax_platforms", "cpu")
+    from ..training.restore import plans_from_manifest
+    from ..training.trainer import TrainerOptions
+    plans = plans_from_manifest({"plans": spec["plans"]})
+    opts = TrainerOptions(**spec["options"]) if spec["options"] else None
+    exp = Experiment(spec["extension"], plans, spec["config_name"],
+                     spec["tasks"], spec["output_base"], spec["settings"], opts)
+    return exp.run(spec["exp_id"])
 
 
 class ParamSearcher:
@@ -77,19 +97,54 @@ class ParamSearcher:
         with open(self._backup_path, "w") as f:
             json.dump(b, f, indent=2)
 
-    def start_searching(self) -> dict:
+    def start_searching(self, n_workers: int = 1, worker_env: dict | None = None) -> dict:
         backup = self._load_backup()
+        todo = {e: s for e, s in self.experiments.items()
+                if e not in backup["finished"]}
         results = {}
-        for exp_id, settings in self.experiments.items():
-            if exp_id in backup["finished"]:
-                continue
-            backup["started"] = sorted(set(backup["started"]) | {exp_id})
+        if n_workers <= 1:
+            for exp_id, settings in todo.items():
+                backup["started"] = sorted(set(backup["started"]) | {exp_id})
+                self._save_backup(backup)
+                exp = Experiment(self.extension, self.plans, self.config_name,
+                                 self.tasks, self.output_base, settings, self.options)
+                results[exp_id] = exp.run(exp_id)
+                backup["finished"] = sorted(set(backup["finished"]) | {exp_id})
+                self._save_backup(backup)
+        else:
+            # process-per-experiment (reference param_searcher.py:276-357)
+            import multiprocessing as mp
+            import sys
+            from concurrent.futures import ProcessPoolExecutor
+            from dataclasses import asdict
+            worker_env = dict(worker_env or {})
+            # ensure the spawned interpreter can import this package
+            worker_env.setdefault(
+                "PYTHONPATH", os.pathsep.join(p for p in sys.path if p))
+            specs = {}
+            for exp_id, settings in todo.items():
+                specs[exp_id] = {
+                    "extension": self.extension,
+                    "plans": asdict(self.plans),
+                    "config_name": self.config_name,
+                    "tasks": self.tasks,
+                    "output_base": self.output_base,
+                    "settings": settings,
+                    "options": asdict(self.options) if self.options else None,
+                    "env": worker_env or {},
+                    "exp_id": exp_id,
+                }
+            backup["started"] = sorted(set(backup["started"]) | set(todo))
             self._save_backup(backup)
-            exp = Experiment(self.extension, self.plans, self.config_name,
-                             self.tasks, self.output_base, settings, self.options)
-            results[exp_id] = exp.run(exp_id)
-            backup["finished"] = sorted(set(backup["finished"]) | {exp_id})
-            self._save_backup(backup)
+            ctx = mp.get_context("spawn")
+            with ProcessPoolExecutor(max_workers=n_workers, mp_context=ctx) as pool:
+                futures = {pool.submit(_experiment_worker, s): e
+                           for e, s in specs.items()}
+                for fut in futures:
+                    exp_id = futures[fut]
+                    results[exp_id] = fut.result()
+                    backup["finished"] = sorted(set(backup["finished"]) | {exp_id})
+                    self._save_backup(backup)
         self._write_summary(results)
         return results
 

@@ -69,6 +69,9 @@ def main(argv=None):
     p.add_argument("-num_epochs", type=int, default=25)
     p.add_argument("-num_iters", type=int, default=250)
     p.add_argument("-seed", type=int, default=3299)
+    p.add_argument("-n_workers", type=int, default=1,
+                   help="experiments run in parallel subprocesses (reference's "
+                        "--run_in_parallel; use >1 only with per-worker devices)")
     p.add_argument("-p", "--plans_identifier", default=paths.default_plans_identifier)
     args = p.parse_args(argv)
 
@@ -88,7 +91,7 @@ def main(argv=None):
         search_mode=args.search_mode, grid=_parse_grid(args.grid),
         rand_ranges=_parse_ranges(args.ranges), num_random=args.num_exp,
         fixate=_parse_fixate(args.fixate), seed=args.seed, options=opts)
-    results = searcher.start_searching()
+    results = searcher.start_searching(n_workers=args.n_workers)
     print(f"{len(results)} experiment(s) done -> {out}")
     return 0
 

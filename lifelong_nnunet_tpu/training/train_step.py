@@ -81,6 +81,9 @@ def make_train_step(model, tx, cfg: StepConfig,
                 base = base + extra
         return base, (outputs, aux)
 
+    # NOTE: the state is deliberately NOT donated — the multi-head registry
+    # (mh.body/heads) and CL anchors (EWC fisher snapshots) alias the same
+    # buffers as the assembled param tree; donation would invalidate them.
     @jax.jit
     def train_step(state: TrainState, cl_state, batch, rng):
         data, seg = batch["data"], batch["seg"]

@@ -85,3 +85,21 @@ def test_param_search_random_seeded(stages, tmp_path):
     vals = [c["ewc_lambda"] for c in s1.experiments.values()]
     assert all(0.1 <= v <= 1.0 for v in vals)
     assert all(round(v, 3) == v for v in vals)  # 3-decimal rounding
+
+
+def test_param_search_parallel_workers(stages, tmp_path):
+    """Process-per-experiment mode (reference's multi-GPU parallelism analog):
+    2 spawned workers, results + backup identical in shape to sequential."""
+    plans, st = stages
+    searcher = ParamSearcher("ewc", plans, "3d_fullres", st, str(tmp_path / "par"),
+                             search_mode="grid", grid={"ewc_lambda": [0.1, 0.4]},
+                             options=tiny_opts())
+    results = searcher.start_searching(n_workers=2,
+                                       worker_env={"JAX_PLATFORMS": "cpu"})
+    assert len(results) == 2
+    for r in results.values():
+        assert np.isfinite(r["final_mean_dice"])
+    assert (tmp_path / "par" / "parameter_search_val_summary.csv").is_file()
+    with open(tmp_path / "par" / "backup.json") as f:
+        import json
+        assert len(json.load(f)["finished"]) == 2
