@@ -391,8 +391,11 @@ class MultiHeadTrainer:
             return  # intermediate phase (e.g. LwF freeze_run): no task-finish bookkeeping
         self.after_task(task)
         self.save_checkpoint("model_final_checkpoint")
-        done = self.already_trained_on.get(str(self.opts.fold), {}).get("finished_training_on", [])
+        fold_state = self.already_trained_on.get(str(self.opts.fold), {})
+        done = fold_state.get("finished_training_on", [])
+        val_done = fold_state.get("finished_validation_on", [])
         self._update_manifest(finished_training_on=done + [task], start_training_on=None,
+                              finished_validation_on=val_done + [task],
                               checkpoint_should_exist=True,
                               tasks_at_time_of_checkpoint=self.mh.tasks,
                               active_task_at_time_of_checkpoint=task)

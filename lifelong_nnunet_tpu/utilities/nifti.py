@@ -28,6 +28,8 @@ _DTYPES = {
     256: np.int8,
     512: np.uint16,
     768: np.uint32,
+    1024: np.int64,
+    1280: np.uint64,
 }
 _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
