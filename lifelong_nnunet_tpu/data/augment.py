@@ -204,7 +204,7 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
     """data [*patch, C] float32, seg [*patch] int8 -> same shapes."""
     dim = data.ndim - 1
     patch = data.shape[:dim]
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 18)
 
     # ---- spatial (rotation+scaling) + simulated low-res, ONE resample ----
     # Low-res simulation snaps the OUTPUT grid to a coarser pitch before the
@@ -279,7 +279,10 @@ def _augment_one(key, data, seg, cfg: AugmentConfig):
         data = jnp.where(do, dc, data)
 
     # ---- gamma (inverted then regular), retain stats ----
-    kg = jax.random.split(keys[0], 6)
+    # fresh keys for gamma/mirror — re-splitting keys[0] (already consumed by
+    # the spatial transform) would make gamma a deterministic function of the
+    # rotation draw
+    kg = keys[12:18]
     def gamma_tf(x, k1, k2, p, invert):
         g = jax.random.uniform(k1, (), minval=cfg.gamma_range[0], maxval=cfg.gamma_range[1])
         do = jax.random.uniform(k2) < p
