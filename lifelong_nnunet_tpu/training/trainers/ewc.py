@@ -27,14 +27,24 @@ from ..trainer import MultiHeadTrainer
 DEFAULT_EWC_LAMBDA = 0.4  # reference run_training.py default
 
 
-def make_fisher_fn(model, ds_factors, batch_dice):
-    """Jitted single-batch fisher accumulation: fisher += grad(base_loss)²."""
+def make_fisher_fn(model, ds_factors, batch_dice, augment=None):
+    """Jitted single-batch fisher accumulation: fisher += grad(base_loss)².
+    With ``augment`` the batch is augmented like a training batch first (the
+    reference accumulates fisher over its augmented generator,
+    ewc/…:252-310)."""
 
     @jax.jit
-    def fisher_step(params, fisher, batch):
+    def fisher_step(params, fisher, batch, rng):
+        data, seg = batch["data"], batch["seg"]
+        if augment is not None:
+            from ...data.augment import _augment_one
+            aug_keys = jax.random.split(rng, data.shape[0])
+            data, seg = jax.vmap(lambda k, d, s: _augment_one(k, d, s, augment))(
+                aug_keys, data, seg)
+
         def base(p):
-            outputs = model.apply({"params": p}, batch["data"])
-            return deep_supervision_loss(outputs, batch["seg"].astype(jnp.int32),
+            outputs = model.apply({"params": p}, data)
+            return deep_supervision_loss(outputs, seg.astype(jnp.int32),
                                          ds_factors, batch_dice)
         grads = jax.grad(base)(params)
         gf = flatten(grads)
@@ -91,14 +101,19 @@ class EWCTrainer(MultiHeadTrainer):
         mask = self._mask(params)
         keep = [k for k in flat if mask is None or mask.get(k, True)]
         fisher = {k: jnp.zeros_like(flat[k], dtype=jnp.float32) for k in keep}
-        fisher_step = make_fisher_fn(self.model, self.ds_factors, self.batch_dice)
+        from ...data.augment import AugmentConfig
+        aug = AugmentConfig(dummy_2d=getattr(self.cfg, "do_dummy_2d_aug", False)) \
+            if self.opts.augment else None
+        fisher_step = make_fisher_fn(self.model, self.ds_factors, self.batch_dice,
+                                     augment=aug)
         sampler = self._make_sampler(task, train=True, seed_offset=777)
         n = self.opts.iters_per_epoch
-        for _ in range(n):
+        for i in range(n):
             b = sampler.next_batch()
             fisher = fisher_step(params, fisher,
                                  {"data": jnp.asarray(b["data"]),
-                                  "seg": jnp.asarray(b["seg"])})
+                                  "seg": jnp.asarray(b["seg"])},
+                                 jax.random.PRNGKey(self.opts.seed * 1000 + i))
         fisher = {k: v / n for k, v in fisher.items()}
         self.cl_state["ewc_tasks"][task] = {
             "fisher": fisher,

@@ -201,3 +201,29 @@ def test_cascade_stage(two_tasks, tmp_path):
     tr2.train_task(tA, cascade_dir)
     assert tr2.in_channels == 3
     assert (tmp_path / "full" / "model_final_checkpoint.ckpt").is_file()
+
+
+@pytest.mark.parametrize("ext", sorted(TRAINER_MAP))
+def test_every_extension_two_task_smoke(two_tasks, tmp_path, ext):
+    """Every registered trainer extension completes a 2-task sequence with
+    checkpoints + manifest — the full-matrix analog of the reference's
+    injectable-ext_map trainer test (SURVEY.md §4)."""
+    from lifelong_nnunet_tpu.training.trainers import get_trainer
+    plans, stages = two_tasks
+    opts = small_opts()
+    if ext in ("ewc_vit", "ewc_ln", "frozen_vit", "frozen_nonln", "frozen_unet",
+               "froz_ewc", "ownm1", "ownm2", "ownm3"):
+        # ViT-targeted methods need the ViT backbone to be meaningful
+        opts = small_opts(use_vit=True, vit_depth_override=1)
+    cls = get_trainer(ext)
+    kw = {"freeze_epochs": 1} if ext == "lwf" else {}
+    tr = cls(plans, "3d_fullres", str(tmp_path / ext), opts, **kw)
+    for t in TASKS:
+        tr.train_task(t, stages[t])
+    assert tr.mh.tasks == list(TASKS)
+    assert os.path.isfile(os.path.join(tr.output_folder,
+                                       "model_final_checkpoint.ckpt"))
+    import json
+    with open(tr._trained_on_path()) as f:
+        m = json.load(f)["0"]
+    assert m["finished_training_on"] == list(TASKS)
