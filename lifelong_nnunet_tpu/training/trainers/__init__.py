@@ -68,6 +68,14 @@ CLASS_NAME_MAP = {
 
 
 def get_trainer(name: str):
+    # late registrations (import cycles: these modules import this registry)
+    if name in ("cascade_fullres", "CascadeFullResTrainer",
+                "nnViTUNetTrainer_CascadeFullRes"):
+        from ...inference.cascade import CascadeFullResTrainer
+        return CascadeFullResTrainer
+    if name in ("vit_unet", "ViTUNetTrainer", "nnViTUNetTrainer"):
+        from ...run.run_training_vit import ViTUNetTrainer
+        return ViTUNetTrainer
     if name in TRAINER_MAP:
         return TRAINER_MAP[name]
     if name in CLASS_NAME_MAP:

@@ -20,6 +20,7 @@ console_scripts = [
     "nnUNet_inference = lifelong_nnunet_tpu.run.run_inference:main",
     "nnUNet_parameter_search = lifelong_nnunet_tpu.run.run_param_search:main",
     "nnUNet_train_vit = lifelong_nnunet_tpu.run.run_training_vit:main",
+    "nnUNet_prepare_cascade = lifelong_nnunet_tpu.run.prepare_cascade:main",
     "nnUNet_dataset_label_mapping = lifelong_nnunet_tpu.scripts.dataset_label_mapping:main",
     "nnUNet_update_checkpoints = lifelong_nnunet_tpu.scripts.update_checkpoints:main",
     "nnUNet_update_checkpoints_all = lifelong_nnunet_tpu.scripts.update_checkpoints:main_all",

@@ -227,3 +227,21 @@ def test_every_extension_two_task_smoke(two_tasks, tmp_path, ext):
     with open(tr._trained_on_path()) as f:
         m = json.load(f)["0"]
     assert m["finished_training_on"] == list(TASKS)
+
+
+def test_cascade_and_vit_trainer_restore(two_tasks, tmp_path):
+    """Checkpoints from trainers living outside training/trainers (cascade,
+    single-task ViT) must restore through the registry."""
+    from lifelong_nnunet_tpu.training.restore import restore_trainer
+    from lifelong_nnunet_tpu.training.trainers import get_trainer
+    from lifelong_nnunet_tpu.inference.cascade import CascadeFullResTrainer
+    from lifelong_nnunet_tpu.run.run_training_vit import ViTUNetTrainer
+    assert get_trainer("cascade_fullres") is CascadeFullResTrainer
+    assert get_trainer("nnViTUNetTrainer") is ViTUNetTrainer
+    plans, stages = two_tasks
+    tr = ViTUNetTrainer(plans, "3d_fullres", str(tmp_path / "vt"),
+                        small_opts(use_vit=True, vit_depth_override=1))
+    tr.train_task(TASKS[0], stages[TASKS[0]])
+    tr2 = restore_trainer(str(tmp_path / "vt" / "model_final_checkpoint"))
+    assert type(tr2) is ViTUNetTrainer
+    assert tr2.opts.use_vit and tr2.mh.tasks == [TASKS[0]]
