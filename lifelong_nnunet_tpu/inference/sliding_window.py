@@ -107,10 +107,10 @@ def bucket_shape(shape, patch_size, step_fraction: float = 0.5):
                                    "patch_size", "mirror_axes", "output"))
 def _sliding_window_jit(params, data, origins, gaussian, apply_fn, num_classes,
                         window_batch, patch_size, mirror_axes, output="probs"):
-    """data: [*vol, C]; origins: [Wpad, dim] int32 (padded to a multiple of
-    window_batch; duplicate origins are harmless — same value written twice
-    to the same place via accumulation is NOT, so padding repeats origin 0
-    and we divide by the weight sum which also accumulates twice)."""
+    """data: [*vol, C]; origins: [Wpad, dim] int32, padded to a multiple of
+    window_batch by REPEATING origin 0 — a repeated window adds the same
+    contribution to both the probability and the weight accumulators, so the
+    normalized result is unchanged."""
     dim = len(patch_size)
     vol_shape = data.shape[:-1]
 
