@@ -98,6 +98,10 @@ class GenericUNet(nn.Module):
     max_num_features: int = 320
     dtype: jnp.dtype = jnp.float32
     deep_supervision: bool = True
+    # rematerialize each conv stage in the backward pass: trades ~30% extra
+    # FLOPs for O(stages) less activation HBM — enables large CT patches
+    # (e.g. 128^3) on 16 GB chips
+    remat: bool = False
 
     @property
     def num_pool(self):
@@ -125,18 +129,19 @@ class GenericUNet(nn.Module):
         dim = x.ndim - 2
         assert len(self.conv_kernel_sizes[0]) == dim, (
             f"model is {len(self.conv_kernel_sizes[0])}D, input is {dim}D")
+        stage_cls = nn.remat(ConvStage) if self.remat else ConvStage
         taps = {}
         skips = []
         h = x.astype(self.dtype)
         # encoder
         for s in range(self.num_pool):
             stride = (1,) * dim if s == 0 else tuple(self.pool_op_kernel_sizes[s - 1])
-            h = ConvStage(self.stage_features(s), self.conv_kernel_sizes[s], stride,
+            h = stage_cls(self.stage_features(s), self.conv_kernel_sizes[s], stride,
                           self.dtype, name=f"enc{s}")(h)
             taps[f"enc{s}"] = h
             skips.append(h)
         # bottleneck
-        h = ConvStage(self.stage_features(self.num_pool),
+        h = stage_cls(self.stage_features(self.num_pool),
                       self.conv_kernel_sizes[self.num_pool],
                       tuple(self.pool_op_kernel_sizes[-1]),
                       self.dtype, name="bottleneck")(h)
@@ -153,7 +158,7 @@ class GenericUNet(nn.Module):
                 kernel_init=nn.initializers.he_normal(), name=f"up{d}",
             )(h)
             h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
-            h = ConvStage(feats, self.conv_kernel_sizes[self.num_pool - 1 - d],
+            h = stage_cls(feats, self.conv_kernel_sizes[self.num_pool - 1 - d],
                           (1,) * dim, self.dtype, name=f"dec{d}")(h)
             taps[f"dec{d}"] = h
             logits = nn.Conv(self.num_classes, kernel_size=(1,) * dim,

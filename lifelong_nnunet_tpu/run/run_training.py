@@ -96,6 +96,8 @@ def build_parser(extension: str) -> argparse.ArgumentParser:
     p.add_argument("-n_devices", type=int, default=None,
                    help="data-parallel devices (SPMD mesh; batch is sharded)")
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv stages (less HBM, ~30%% more FLOPs)")
     for name, (typ, default) in METHOD_ARGS.get(extension, {}).items():
         if typ is bool:
             p.add_argument(f"--{name}", action="store_true", default=default)
@@ -149,7 +151,8 @@ def run_training(extension: str, argv=None):
             use_vit=args.use_vit, vit_version=f"V{args.vit_version}",
             vit_type=args.vit_type, vit_lsa=args.do_LSA, vit_spt=args.do_SPT,
             vit_task_specific_ln=args.task_specific_ln,
-            vit_depth_override=args.vit_depth, n_devices=args.n_devices)
+            vit_depth_override=args.vit_depth, n_devices=args.n_devices,
+            remat=args.remat)
         meta_dir = metadata_folder(results, args.network, task_names, trainer_name,
                                    args.plans_identifier, transfer, **arch_kwargs)
 

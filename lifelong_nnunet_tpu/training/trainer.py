@@ -74,6 +74,7 @@ class TrainerOptions:
     # write a jax.profiler trace of the first training epoch to this dir
     # (SURVEY.md §5: the reference has no profiler; we make one first-class)
     profile_dir: str | None = None
+    remat: bool = False                    # rematerialize conv stages (big patches)
     use_vit: bool = False
     vit_version: str = "V1"
     vit_type: str = "base"
@@ -118,6 +119,8 @@ class MultiHeadTrainer:
                                               vit_heads=2)
         else:
             self.model = unet_from_plans(plans, config_name, dtype=dtype)
+        if self.opts.remat:
+            self.model = self.model.clone(remat=True)
         if self.opts.base_num_features or self.opts.max_num_features:
             self.model = self.model.clone(
                 base_num_features=self.opts.base_num_features or self.model.base_num_features,

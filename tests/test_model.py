@@ -176,3 +176,27 @@ def test_train_step_learns():
     dice = (2 * tp / np.maximum(2 * tp + fp + fn, 1)).mean()
     assert losses[-1] < losses[0] - 0.3, (losses[0], losses[-1])
     assert dice > 0.5, dice
+
+
+def test_remat_equivalence():
+    """jax.checkpoint'd conv stages compute identical losses/grads."""
+    import optax
+    seg = np.zeros((1, 16, 16, 16), dtype=np.int32)
+    seg[:, 4:12, 4:12, 4:12] = 1
+    data = jnp.asarray((seg[..., None] * 0.5).astype(np.float32))
+    seg = jnp.asarray(seg)
+    losses = {}
+    for remat in (False, True):
+        model = tiny_unet(num_pool=2, feats=4)
+        model = model.clone(remat=remat)
+        params = model.init(jax.random.PRNGKey(0), data)["params"]
+        def loss_fn(p):
+            outs = model.apply({"params": p}, data)
+            return deep_supervision_loss(outs, seg, ((1, 1, 1), (2, 2, 2)))
+        l, g = jax.value_and_grad(loss_fn)(params)
+        losses[remat] = (float(l), g)
+    assert losses[False][0] == losses[True][0]
+    ga = jax.tree.leaves(losses[False][1])
+    gb = jax.tree.leaves(losses[True][1])
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(a, b, atol=1e-6)
