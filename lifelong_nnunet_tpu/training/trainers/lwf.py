@@ -63,12 +63,18 @@ class LwFTrainer(MultiHeadTrainer):
         return step_params["main"]
 
     # -------------------------------------------------- two-phase training
-    def train_task(self, task: str, stage_dir: str, num_epochs: int | None = None):
+    def train_task(self, task: str, stage_dir: str, num_epochs: int | None = None,
+                   start_epoch: int = 0):
         first = self.mh is None
         if first:
             self._joint_phase = False
-            super().train_task(task, stage_dir, num_epochs)
+            super().train_task(task, stage_dir, num_epochs, start_epoch=start_epoch)
             return
+        if start_epoch:
+            # LwF's two phases share one model_latest stream; a mid-task epoch
+            # offset is ambiguous across phases — restart the task's phases.
+            self.logger(f"[{task}] LwF ignores start_epoch={start_epoch}; "
+                        "restarting both phases for this task")
         # Phase 1: freeze body, train the new head plain (freeze_run)
         self.register_task_data(task, stage_dir)
         if task not in self.mh.tasks:
