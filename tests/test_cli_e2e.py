@@ -246,3 +246,21 @@ def test_mid_task_resume(preprocessed, capsys):
     with open(os.path.join(d, "model_final_checkpoint.json")) as f:
         man = _json.load(f)
     assert man["epoch"] == 3  # trained epochs 2..3 after resume
+
+
+def test_evaluate_initialization(trained, tmp_path):
+    """evaluator2 on the before_training checkpoint (the model as it was
+    BEFORE the last task's training) — reference -evaluate_initialization."""
+    from lifelong_nnunet_tpu.run.run_evaluation import run_evaluation2_cli
+    run_evaluation2_cli(["3d_fullres", "sequential",
+                         "-trained_on", "Task097_SynthA", "Task098_SynthB",
+                         "-evaluate_on", "97", "-f", "0",
+                         "--evaluate_initialization", "--disable_tta",
+                         "--no_delete"])
+    eval_root = trained / "eval" / "nnUNet_ext"
+    found = list(eval_root.rglob("eval2_metrics.json"))
+    assert found
+    import json as _json
+    with open(found[0]) as f:
+        res = _json.load(f)
+    assert "Task097_SynthA" in res
