@@ -238,7 +238,9 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
                for v in volumes]
     shapes = {p[0].shape for p in prepped}
     assert len(shapes) == 1, f"volumes must share padded shape, got {shapes}"
-    undo = prepped[0][1]
+    # undo slicers are PER VOLUME: same padded shape does not imply same
+    # original shape (small volumes pad up to the patch differently per axis)
+    undos = [p[1] for p in prepped]
     origins, wb, gaussian = prepped[0][2], prepped[0][3], prepped[0][4]
     dtype = jnp.bfloat16 if input_bf16 else np.float32
     stack = np.stack([p[0] for p in prepped]).astype(dtype)
@@ -266,7 +268,7 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
         out = np.asarray(jax.jit(fn)(dev_stack))
     if output == "probs_bf16":
         out = out.astype(np.float32)
-    return [out[i][undo] for i in range(len(volumes))]
+    return [out[i][undos[i]] for i in range(len(volumes))]
 
 
 def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,

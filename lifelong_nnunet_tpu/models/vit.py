@@ -60,8 +60,9 @@ class PatchEmbed(nn.Module):
     reshape→transpose→einsum: on the v5e the conv's input-gradient lowering
     costs 230 ms at ViT-base/hippocampus size vs 27 ms for the identical
     einsum (measured; this single op was 60% of the ViT train step).
-    Parameters keep nn.Conv's structure (proj/kernel [*patch, C, E],
-    proj/bias [E]) so checkpoints are layout-compatible."""
+    Parameters keep nn.Conv's exact tree structure — nested scope ``proj``
+    with ``kernel`` [*patch, C, E] and ``bias`` [E] — so checkpoints from the
+    earlier nn.Conv formulation restore unchanged."""
     patch_size: tuple
     embed_dim: int
     dtype: jnp.dtype = jnp.float32
@@ -87,10 +88,23 @@ class PatchEmbed(nn.Module):
         return tokens, grid
 
     def _proj_params(self, p, C):
-        # same names/shapes as the previous nn.Conv(name='proj')
-        kernel = self.param("proj_kernel", nn.initializers.he_normal(),
-                            p + (C, self.embed_dim), jnp.float32)
-        bias = self.param("proj_bias", nn.initializers.zeros,
+        # identical param tree to the previous nn.Conv(name='proj'):
+        # {'proj': {'kernel': [*patch, C, E], 'bias': [E]}}
+        proj = _ProjParams(kernel_shape=p + (C, self.embed_dim),
+                           embed_dim=self.embed_dim, name="proj")
+        return proj()
+
+
+class _ProjParams(nn.Module):
+    """Parameter holder matching nn.Conv's scope layout (see PatchEmbed)."""
+    kernel_shape: tuple
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            self.kernel_shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
                           (self.embed_dim,), jnp.float32)
         return {"kernel": kernel, "bias": bias}
 

@@ -57,12 +57,13 @@ def dc_and_ce_loss(logits, target, batch_dice: bool = True, smooth: float = 1e-5
 
 
 def ds_weights(num_outputs: int) -> np.ndarray:
-    """Deep-supervision weights: 1/2^i, lowest two resolutions zeroed (when
-    there are >2 outputs), normalized to sum 1."""
+    """Deep-supervision weights: 1/2^i, the COARSEST output zeroed, normalized
+    to sum 1.  Matches the reference's mask code
+    (``multihead/nnUNetTrainerMultiHead.py:1380``: mask False only for
+    ``i == net_numpool - 1``) — its "lowest 2 outputs" comment contradicts its
+    own code, and the code is what trains."""
     w = np.array([1.0 / (2 ** i) for i in range(num_outputs)])
-    if num_outputs > 2:
-        w[-2:] = 0.0  # the reference zeroes the two coarsest outputs
-    elif num_outputs == 2:
+    if num_outputs >= 2:
         w[-1] = 0.0
     return (w / w.sum()).astype(np.float32)
 

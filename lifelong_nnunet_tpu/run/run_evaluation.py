@@ -50,11 +50,28 @@ def build_parser(two: bool) -> argparse.ArgumentParser:
     return p
 
 
+def _resolve_task_args(args):
+    """Resolve numeric task ids (reference CLI convention, e.g. ``-trained_on
+    97 98``) to full ``TaskXXX_Name`` names against the preprocessed root
+    (falling back to raw), in place."""
+    roots = [paths.preprocessed_dir(create=False), paths.raw_data_dir(create=False)]
+
+    def resolve(t):
+        for root in roots:
+            if root and os.path.isdir(root):
+                try:
+                    return os.path.basename(resolve_task(t, root))
+                except (FileNotFoundError, ValueError):
+                    continue
+        return t
+
+    args.trained_on = [resolve(t) for t in args.trained_on]
+    if args.use:
+        args.use = [resolve(t) for t in args.use]
+
+
 def _locate_model(args, results, fold):
     from ..training.trainers import get_trainer
-    ext = args.trainer if args.trainer in __import__(
-        "lifelong_nnunet_tpu.training.trainers", fromlist=["TRAINER_MAP"]).TRAINER_MAP \
-        else None
     trainer_cls = get_trainer(args.trainer)
     trainer_name = args.trainer if args.trainer.startswith("nnUNetTrainer") \
         else f"nnUNetTrainer{_camel(args.trainer)}"
@@ -78,6 +95,7 @@ def run_evaluation(argv=None):
     results = paths.require(paths.results_dir(create=False), "results")
     eval_root = paths.require(paths.evaluation_dir(), "evaluation")
     pre = paths.require(paths.preprocessed_dir(create=False), "preprocessed data")
+    _resolve_task_args(args)
     for fold in args.folds:
         ckpt = _locate_model(args, results, fold)
         ev = Evaluator(ckpt)
@@ -97,6 +115,7 @@ def run_evaluation2_cli(argv=None):
     results = paths.require(paths.results_dir(create=False), "results")
     eval_root = paths.require(paths.evaluation_dir(), "evaluation")
     raw = paths.require(paths.raw_data_dir(create=False), "raw data")
+    _resolve_task_args(args)
     for fold in args.folds:
         folder_ckpt = _locate_model(args, results, fold)
         chk = "before_training" if args.evaluate_initialization else args.chk

@@ -164,3 +164,24 @@ def test_sharded_multi_volume_inference():
                                      mirror_axes=(), output="seg")
         assert s.shape == (20, 20, 20)
         np.testing.assert_array_equal(s, ref)
+
+
+def test_sharded_inference_per_volume_undo():
+    """Volumes SMALLER than the patch with DIFFERENT original shapes share one
+    padded shape; each must be cropped by its own undo slicer."""
+    from lifelong_nnunet_tpu.inference.sliding_window import (
+        predict_sliding_window_sharded)
+    from lifelong_nnunet_tpu.parallel.mesh import make_mesh
+    params = {"w": jnp.asarray(2.0)}
+    rng = np.random.RandomState(1)
+    shapes = [(12, 16, 16), (14, 15, 16), (16, 16, 10)]
+    vols = [rng.rand(*s, 1).astype(np.float32) for s in shapes]
+    mesh = make_mesh(8, data_parallel=8)
+    segs = predict_sliding_window_sharded(
+        _const_apply, params, vols, (16, 16, 16), 2, mesh=mesh,
+        mirror_axes=(), input_bf16=False)
+    for shape, v, s in zip(shapes, vols, segs):
+        assert s.shape == shape
+        ref = predict_sliding_window(_const_apply, params, v, (16, 16, 16), 2,
+                                     mirror_axes=(), output="seg")
+        np.testing.assert_array_equal(s, ref)

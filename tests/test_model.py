@@ -63,10 +63,16 @@ def test_ds_scale_factors():
 
 
 def test_ds_weights():
+    # reference mask (multihead/nnUNetTrainerMultiHead.py:1380) zeroes ONLY
+    # the coarsest output; intermediate resolutions keep their 1/2^i weight
     w = ds_weights(4)
-    assert w[2] == 0 and w[3] == 0
+    assert w[3] == 0 and w[2] > 0
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
-    assert w[0] == 2 * w[1]
+    assert w[0] == 2 * w[1] and w[1] == 2 * w[2]
+    w3 = ds_weights(3)
+    assert w3[2] == 0 and w3[1] > 0  # 3-output nets keep deep supervision
+    w2 = ds_weights(2)
+    assert w2[1] == 0 and w2[0] == 1.0
 
 
 def test_multihead_split_assemble():

@@ -60,7 +60,7 @@ def test_spt_changes_param_structure():
     x = jnp.zeros((1, 8, 8, 2))
     params = v_spt.init(jax.random.PRNGKey(0), x)["params"]
     # SPT embedding sees 5x input channels (original + 4 shifted copies)
-    kernel = params["patch_embed_0"]["embed"]["proj_kernel"]
+    kernel = params["patch_embed_0"]["embed"]["proj"]["kernel"]
     assert kernel.shape[-2] == 10  # 2 channels * 5
 
 
