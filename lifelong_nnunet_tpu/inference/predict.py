@@ -41,16 +41,22 @@ def preprocess_for_inference(image_files: list, plans, config_name: str):
     data = np.stack(vols, axis=0)
     spacing = imgs[0].spacing
     orig_shape = data.shape[1:]
+    # to plans space (coarsest axis first) — undone by restore_softmax
+    tf = list(getattr(plans, "transpose_forward", [0, 1, 2]))
+    sp_t = [spacing[a] for a in tf]
+    if tf != [0, 1, 2]:
+        data = np.ascontiguousarray(data.transpose([0] + [a + 1 for a in tf]))
     data, _, bbox, mask = crop_to_nonzero(data, None)
     cfg = plans.config(config_name)
     target_spacing = np.array(cfg.spacing[-3:], dtype=np.float64)
-    data_r = resample_image(data, spacing, target_spacing, is_seg=False)
-    mask_r = resample_image(mask[None].astype(np.float32), spacing, target_spacing,
+    data_r = resample_image(data, sp_t, target_spacing, is_seg=False)
+    mask_r = resample_image(mask[None].astype(np.float32), sp_t, target_spacing,
                             is_seg=True)[0] > 0.5
     data_n = normalize(data_r, plans, mask_r)
     props = {
-        "original_shape": list(orig_shape),
-        "original_spacing": list(spacing),
+        "original_shape": list(orig_shape),   # untransposed
+        "original_spacing": list(spacing),    # untransposed
+        "transpose_forward": tf,              # bbox/shapes below are in tf space
         "crop_bbox": [[b[0], b[1]] for b in bbox],
         "cropped_shape": list(data.shape[1:]),
         "resampled_shape": list(data_r.shape[1:]),
@@ -61,8 +67,9 @@ def preprocess_for_inference(image_files: list, plans, config_name: str):
 
 def restore_softmax(probs: np.ndarray, props: dict) -> np.ndarray:
     """Resample class probabilities [*sp, K] back to the original cropped
-    shape, then re-embed into the original volume (undo crop).
-    Returns [*orig_shape, K]."""
+    shape, re-embed into the original volume (undo crop), and un-transpose
+    back to the original axis order (undo ``transpose_forward``, reference
+    ``inference/predict.py:224-226``).  Returns [*orig_shape, K]."""
     cropped = tuple(props["cropped_shape"])
     if probs.shape[:-1] != cropped:
         zoom = np.array(cropped) / np.array(probs.shape[:-1])
@@ -70,10 +77,15 @@ def restore_softmax(probs: np.ndarray, props: dict) -> np.ndarray:
                  for k in range(probs.shape[-1])]
         chans = [c[tuple(slice(0, s) for s in cropped)] for c in chans]
         probs = np.stack(chans, axis=-1)
-    full = np.zeros(tuple(props["original_shape"]) + (probs.shape[-1],), np.float32)
+    tf = list(props.get("transpose_forward", [0, 1, 2]))
+    orig_t = [props["original_shape"][a] for a in tf]  # original shape in tf space
+    full = np.zeros(tuple(orig_t) + (probs.shape[-1],), np.float32)
     full[..., 0] = 1.0  # outside crop = background
     sl = tuple(slice(b[0], b[1]) for b in props["crop_bbox"])
     full[sl] = probs
+    if tf != [0, 1, 2]:
+        tb = list(np.argsort(tf))
+        full = np.ascontiguousarray(full.transpose(tb + [full.ndim - 1]))
     return full
 
 

@@ -36,14 +36,39 @@ from functools import lru_cache
 def _cached_grid(image_size: tuple, patch_size: tuple, step_fraction: float,
                  window_batch: int):
     """Origins (padded to a window_batch multiple) for a padded-volume shape —
-    pure function of shapes, cached across the volume stream."""
+    pure function of shapes, cached across the volume stream.  Padding repeats
+    origin 0; `valid` masks the repeats out of the accumulation (a duplicated
+    window does NOT cancel in the normalization wherever other windows
+    overlap it — it would bias the average toward the duplicate)."""
     steps = compute_steps(image_size, patch_size, step_fraction)
     origins = np.array(list(itertools.product(*steps)), dtype=np.int32)
-    wb = max(1, min(window_batch, len(origins)))
-    rem = (-len(origins)) % wb
+    n_real = len(origins)
+    wb = max(1, min(window_batch, n_real))
+    rem = (-n_real) % wb
     if rem:
         origins = np.concatenate([origins, np.repeat(origins[:1], rem, axis=0)])
-    return origins, wb
+    valid = np.zeros(len(origins), np.float32)
+    valid[:n_real] = 1.0
+    return origins, wb, valid
+
+
+@lru_cache(maxsize=64)
+def _weight_inv(vol_shape: tuple, patch_size: tuple, grid_shape: tuple,
+                use_gaussian: bool) -> np.ndarray:
+    """1 / (summed per-window importance) for a REGULAR half-patch-stride grid.
+
+    The weight accumulator is data-independent, so it is computed once on host
+    and shipped as a constant instead of being scatter-accumulated on device
+    every volume (it was half the serialized-scatter cost)."""
+    g = (gaussian_importance_map(patch_size) if use_gaussian
+         else np.ones(patch_size, np.float32))
+    steps = tuple(p // 2 for p in patch_size)
+    w = np.zeros(vol_shape, np.float64)
+    for idx in itertools.product(*[range(n) for n in grid_shape]):
+        sl = tuple(slice(i * st, i * st + p)
+                   for i, st, p in zip(idx, steps, patch_size))
+        w[sl] += g
+    return (1.0 / w).astype(np.float32)
 
 
 def compute_steps(image_size, patch_size, step_fraction: float = 0.5) -> list:
@@ -103,35 +128,118 @@ def bucket_shape(shape, patch_size, step_fraction: float = 0.5):
     return tuple(out)
 
 
+def _tta_forward(apply_fn, params, x, mirror_axes):
+    """x: [B, *patch, C] -> mean softmax over mirror combos [B, *patch, K].
+    All flip variants are stacked into ONE forward batch (B*combos) so the
+    convs run at maximum batch instead of `combos` sequential passes."""
+    combos = [c for r in range(len(mirror_axes) + 1)
+              for c in itertools.combinations(mirror_axes, r)]
+    if len(combos) == 1:
+        return jax.nn.softmax(apply_fn(params, x)[0].astype(jnp.float32), axis=-1)
+    variants = [jnp.flip(x, axis=[a + 1 for a in c]) if c else x for c in combos]
+    big = jnp.concatenate(variants, axis=0)
+    logits = apply_fn(params, big)[0].astype(jnp.float32)
+    parts = jnp.split(logits, len(combos), axis=0)
+    acc = 0.0
+    for combo, part in zip(combos, parts):
+        if combo:
+            part = jnp.flip(part, axis=[a + 1 for a in combo])
+        acc = acc + jax.nn.softmax(part, axis=-1)
+    return acc / len(combos)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
+                                   "patch_size", "grid_shape", "mirror_axes",
+                                   "output"))
+def _sliding_window_oa_jit(params, data, w_inv, gaussian, apply_fn, num_classes,
+                           window_batch, patch_size, grid_shape, mirror_axes,
+                           output="probs"):
+    """Overlap-add sliding window for a REGULAR grid (stride = patch//2 on
+    every axis; callers guarantee this by bucket-padding the volume).
+
+    The per-window scatter-accumulate of `_sliding_window_jit` serializes on
+    TPU (measured ~58% of volume latency at hippocampus scale).  Here window
+    probabilities are stacked into a [W, *patch, K] buffer by the forward
+    scan, then accumulated with ZERO scatters: windows split into 2^dim
+    parity groups; within a group, half-patch-stride windows are exactly
+    adjacent, so the group's windows tile a dense subvolume via a reshape +
+    transpose, and groups combine with 2^dim static pads + adds.  The weight
+    normalizer is the host-precomputed constant `w_inv` (data-independent).
+
+    Memory: the window buffer is bf16 for 'seg' output (argmax after f32
+    accumulation tolerates it), f32 otherwise. For very large CT grids
+    (~400 windows of 128^3) this is a few GB of HBM — still well under one
+    chip; chunk over grid-z slabs if a workload ever exceeds it."""
+    dim = len(patch_size)
+    vol_shape = data.shape[:-1]
+    steps = tuple(p // 2 for p in patch_size)
+    n_windows = int(np.prod(grid_shape))
+
+    origins = np.array(list(itertools.product(*[range(n) for n in grid_shape])),
+                       dtype=np.int32) * np.array(steps, dtype=np.int32)
+    wb = max(1, min(window_batch, n_windows))
+    rem = (-n_windows) % wb
+    if rem:  # repeat last origin; extra rows are sliced away before overlap-add
+        origins = np.concatenate([origins, np.repeat(origins[-1:], rem, axis=0)])
+    origins_b = jnp.asarray(origins.reshape(-1, wb, dim))
+
+    buf_dtype = jnp.bfloat16 if output == "seg" else jnp.float32
+
+    def gather_window(origin):
+        return jax.lax.dynamic_slice(
+            data, tuple(origin[a] for a in range(dim)) + (0,),
+            patch_size + (data.shape[-1],))
+
+    def body(_, batch_origins):
+        windows = jax.vmap(gather_window)(batch_origins)
+        probs = _tta_forward(apply_fn, params, windows, mirror_axes)
+        probs = probs * gaussian[None, ..., None]
+        return 0, probs.astype(buf_dtype)
+
+    _, ys = jax.lax.scan(body, 0, origins_b)          # [n_b, wb, *patch, K]
+    probs = ys.reshape((-1,) + patch_size + (num_classes,))[:n_windows]
+    probs = probs.reshape(grid_shape + patch_size + (num_classes,))
+
+    acc = jnp.zeros(vol_shape + (num_classes,), jnp.float32)
+    for g in itertools.product(range(2), repeat=dim):
+        sub = probs[tuple(slice(gi, None, 2) for gi in g)]
+        m = sub.shape[:dim]
+        if any(mi == 0 for mi in m):
+            continue
+        perm = []
+        for a in range(dim):
+            perm += [a, dim + a]
+        perm.append(2 * dim)
+        dense = sub.transpose(perm).reshape(
+            tuple(m[a] * patch_size[a] for a in range(dim)) + (num_classes,))
+        pad_cfg = [(g[a] * steps[a],
+                    vol_shape[a] - g[a] * steps[a] - m[a] * patch_size[a])
+                   for a in range(dim)] + [(0, 0)]
+        acc = acc + jnp.pad(dense, pad_cfg).astype(jnp.float32)
+
+    if output == "seg":
+        # weight normalization is positive and per-voxel -> argmax unaffected
+        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
+    probs_out = acc * w_inv[..., None]
+    if output == "probs_bf16":
+        return probs_out.astype(jnp.bfloat16)
+    return probs_out
+
+
 @partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
                                    "patch_size", "mirror_axes", "output"))
-def _sliding_window_jit(params, data, origins, gaussian, apply_fn, num_classes,
-                        window_batch, patch_size, mirror_axes, output="probs"):
-    """data: [*vol, C]; origins: [Wpad, dim] int32, padded to a multiple of
-    window_batch by REPEATING origin 0 — a repeated window adds the same
-    contribution to both the probability and the weight accumulators, so the
-    normalized result is unchanged."""
+def _sliding_window_jit(params, data, origins, valid, gaussian, apply_fn,
+                        num_classes, window_batch, patch_size, mirror_axes,
+                        output="probs"):
+    """Irregular-grid fallback (odd patch dims or step_fraction != 0.5).
+    data: [*vol, C]; origins: [Wpad, dim] int32, padded to a multiple of
+    window_batch; valid: [Wpad] float {0,1} masking the padding repeats out
+    of both accumulators."""
     dim = len(patch_size)
     vol_shape = data.shape[:-1]
 
     def forward(x):
-        """x: [B, *patch, C] -> mean softmax over mirror combos [B, *patch, K].
-        All flip variants are stacked into ONE forward batch (B*combos) so the
-        convs run at maximum batch instead of `combos` sequential passes."""
-        combos = [c for r in range(len(mirror_axes) + 1)
-                  for c in itertools.combinations(mirror_axes, r)]
-        if len(combos) == 1:
-            return jax.nn.softmax(apply_fn(params, x)[0].astype(jnp.float32), axis=-1)
-        variants = [jnp.flip(x, axis=[a + 1 for a in c]) if c else x for c in combos]
-        big = jnp.concatenate(variants, axis=0)
-        logits = apply_fn(params, big)[0].astype(jnp.float32)
-        parts = jnp.split(logits, len(combos), axis=0)
-        acc = 0.0
-        for combo, part in zip(combos, parts):
-            if combo:
-                part = jnp.flip(part, axis=[a + 1 for a in combo])
-            acc = acc + jax.nn.softmax(part, axis=-1)
-        return acc / len(combos)
+        return _tta_forward(apply_fn, params, x, mirror_axes)
 
     def gather_window(origin):
         return jax.lax.dynamic_slice(data, tuple(origin[a] for a in range(dim)) + (0,),
@@ -139,29 +247,32 @@ def _sliding_window_jit(params, data, origins, gaussian, apply_fn, num_classes,
 
     n_batches = origins.shape[0] // window_batch
     origins_b = origins.reshape(n_batches, window_batch, dim)
+    valid_b = valid.reshape(n_batches, window_batch)
 
-    def body(carry, batch_origins):
+    def body(carry, ov):
+        batch_origins, batch_valid = ov
         prob_acc, w_acc = carry
         windows = jax.vmap(gather_window)(batch_origins)
         probs = forward(windows) * gaussian[None, ..., None]
 
-        def scatter_one(carry2, ow):
+        def scatter_one(carry2, owv):
             pa, wa = carry2
-            origin, p = ow
+            origin, p, v = owv
             idx = tuple(origin[a] for a in range(dim))
             cur = jax.lax.dynamic_slice(pa, idx + (0,), patch_size + (num_classes,))
-            pa = jax.lax.dynamic_update_slice(pa, cur + p, idx + (0,))
+            pa = jax.lax.dynamic_update_slice(pa, cur + p * v, idx + (0,))
             curw = jax.lax.dynamic_slice(wa, idx, patch_size)
-            wa = jax.lax.dynamic_update_slice(wa, curw + gaussian, idx)
+            wa = jax.lax.dynamic_update_slice(wa, curw + gaussian * v, idx)
             return (pa, wa), None
 
         (prob_acc, w_acc), _ = jax.lax.scan(scatter_one, (prob_acc, w_acc),
-                                            (batch_origins, probs))
+                                            (batch_origins, probs, batch_valid))
         return (prob_acc, w_acc), None
 
     prob_acc = jnp.zeros(vol_shape + (num_classes,), jnp.float32)
     w_acc = jnp.zeros(vol_shape, jnp.float32)
-    (prob_acc, w_acc), _ = jax.lax.scan(body, (prob_acc, w_acc), origins_b)
+    (prob_acc, w_acc), _ = jax.lax.scan(body, (prob_acc, w_acc),
+                                        (origins_b, valid_b))
     if output == "seg":
         # weight normalization is positive and per-voxel -> argmax unaffected
         return jnp.argmax(prob_acc, axis=-1).astype(jnp.uint8)
@@ -172,15 +283,57 @@ def _sliding_window_jit(params, data, origins, gaussian, apply_fn, num_classes,
 
 
 def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
-    padded, undo = pad_to_min(np.asarray(data), patch_size)
-    # origin-list padding to a multiple of wb repeats origin 0 — the gaussian
-    # weight accumulates identically for prob and weight sums, so duplicates
-    # cancel in the normalization.
-    origins, wb = _cached_grid(tuple(padded.shape[:-1]), tuple(patch_size),
-                               step_fraction, window_batch)
-    gaussian = (gaussian_importance_map(tuple(patch_size)) if use_gaussian
+    """Host-side prep. When the patch is even on every axis and
+    step_fraction == 0.5, the volume is additionally padded (high side) to
+    `bucket_shape`, which makes the window grid REGULAR (origins = i*patch/2)
+    — enabling the scatter-free overlap-add core AND collapsing compile-cache
+    entries across the volume stream.  Returns
+    (padded, undo, origins, wb, gaussian, grid_shape) with grid_shape=None
+    when only the irregular-grid fallback applies."""
+    data = np.asarray(data)
+    patch_size = tuple(patch_size)
+    regular = step_fraction == 0.5 and all(p % 2 == 0 for p in patch_size)
+    padded, undo = pad_to_min(data, patch_size)
+    grid_shape = None
+    if regular:
+        bshape = bucket_shape(padded.shape[:-1], patch_size, step_fraction)
+        extra = [(0, b - s) for b, s in zip(bshape, padded.shape[:-1])] + [(0, 0)]
+        if any(e[1] for e in extra):
+            padded = np.pad(padded, extra)
+        grid_shape = tuple((b - p) // (p // 2) + 1
+                           for b, p in zip(bshape, patch_size))
+        origins, wb = None, max(1, min(window_batch, int(np.prod(grid_shape))))
+    else:
+        # origin-list padding to a multiple of wb repeats origin 0 — the
+        # gaussian weight accumulates identically for prob and weight sums,
+        # so duplicates cancel in the normalization.
+        origins, wb, valid = _cached_grid(tuple(padded.shape[:-1]), patch_size,
+                                          step_fraction, window_batch)
+        origins = (origins, valid)
+    gaussian = (gaussian_importance_map(patch_size) if use_gaussian
                 else np.ones(patch_size, np.float32))
-    return padded, undo, origins, wb, gaussian
+    return padded, undo, origins, wb, gaussian, grid_shape
+
+
+def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
+              mirror_axes, output, use_gaussian=True):
+    """Dispatch one padded device volume to the overlap-add core (regular
+    grid) or the scatter fallback."""
+    _, _, origins, wb, gaussian, grid_shape = prep
+    if grid_shape is not None:
+        if output == "seg":
+            w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
+        else:
+            w_inv = jnp.asarray(_weight_inv(tuple(dev.shape[:-1]), patch_size,
+                                            grid_shape, use_gaussian))
+        return _sliding_window_oa_jit(params, dev, w_inv, jnp.asarray(gaussian),
+                                      apply_fn, num_classes, wb, patch_size,
+                                      grid_shape, tuple(mirror_axes), output)
+    origins, valid = origins
+    return _sliding_window_jit(params, dev, jnp.asarray(origins),
+                               jnp.asarray(valid), jnp.asarray(gaussian),
+                               apply_fn, num_classes, wb, patch_size,
+                               tuple(mirror_axes), output)
 
 
 def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
@@ -199,13 +352,12 @@ def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
     apply_fn(params, x) must return the model's DS output list (highest
     resolution first) for x [B, *patch, C]."""
     patch_size = tuple(int(p) for p in patch_size)
-    padded, undo, origins, wb, gaussian = _prepare(
-        data, patch_size, step_fraction, window_batch, use_gaussian)
+    prep = _prepare(data, patch_size, step_fraction, window_batch, use_gaussian)
+    padded, undo = prep[0], prep[1]
     dev = jnp.asarray(padded.astype(np.float32) if not input_bf16
                       else padded.astype(jnp.bfloat16))
-    out = _sliding_window_jit(params, dev, jnp.asarray(origins),
-                              jnp.asarray(gaussian), apply_fn, num_classes, wb,
-                              patch_size, tuple(mirror_axes), output)
+    out = _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
+                    mirror_axes, output, use_gaussian)
     out = np.asarray(out)
     if output == "probs_bf16":
         out = out.astype(np.float32)
@@ -241,21 +393,18 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
     # undo slicers are PER VOLUME: same padded shape does not imply same
     # original shape (small volumes pad up to the patch differently per axis)
     undos = [p[1] for p in prepped]
-    origins, wb, gaussian = prepped[0][2], prepped[0][3], prepped[0][4]
+    prep0 = prepped[0]
     dtype = jnp.bfloat16 if input_bf16 else np.float32
     stack = np.stack([p[0] for p in prepped]).astype(dtype)
     # pad the volume batch to a multiple of the device count
     rem = (-len(stack)) % n_dev
     if rem:
         stack = np.concatenate([stack, np.repeat(stack[:1], rem, axis=0)])
-    origins_d = jnp.asarray(origins)
-    gaussian_d = jnp.asarray(gaussian)
 
     def per_device(vols_shard):  # [B/n_dev, *vol, C]
         def one(v):
-            return _sliding_window_jit(params, v, origins_d, gaussian_d,
-                                       apply_fn, num_classes, wb, patch_size,
-                                       tuple(mirror_axes), output)
+            return _run_core(apply_fn, params, v, prep0, patch_size,
+                             num_classes, mirror_axes, output)
         return jax.lax.map(one, vols_shard)
 
     spec = P("data", *([None] * (stack.ndim - 1)))
@@ -286,13 +435,12 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
     pending = []  # (device result, undo slicer)
     results: list = [None] * len(volumes)
     for i, v in enumerate(volumes):
-        padded, undo, origins, wb, gaussian = _prepare(
-            v, patch_size, step_fraction, window_batch, True)
+        prep = _prepare(v, patch_size, step_fraction, window_batch, True)
+        padded, undo = prep[0], prep[1]
         dev = jnp.asarray(padded.astype(jnp.bfloat16) if input_bf16
                           else padded.astype(np.float32))
-        out = _sliding_window_jit(params, dev, jnp.asarray(origins),
-                                  jnp.asarray(gaussian), apply_fn, num_classes,
-                                  wb, patch_size, tuple(mirror_axes), output)
+        out = _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
+                        mirror_axes, output)
         pending.append((i, out, undo))
         if len(pending) >= 2:  # fetch the oldest while the newest computes
             j, o, u = pending.pop(0)

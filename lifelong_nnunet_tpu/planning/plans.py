@@ -174,9 +174,25 @@ def _fit_patch(median_shape, spacing, budget, max_pool, default_batch, dim):
     return patch, pools, convs
 
 
+def determine_transpose(target_spacing) -> tuple:
+    """nnU-Net axis-reorder rule (upstream ExperimentPlanner, required by the
+    reference's plans surgery at ``inference/predict.py:224-226,354-362``):
+    the COARSEST axis goes first, the rest keep relative order.  All plans
+    quantities (patch/pool/spacing) and preprocessed arrays live in this
+    transposed space; predictions are un-transposed at restore time."""
+    worst = int(np.argmax(target_spacing))
+    tf = [worst] + [i for i in range(len(target_spacing)) if i != worst]
+    tb = [int(x) for x in np.argsort(tf)]
+    return tf, tb
+
+
 def plan_experiment(fingerprint: dict, plans_name: str = "nnUNetPlansv2.1") -> Plans:
     target_spacing = compute_target_spacing(fingerprint)
     median_shape = median_resampled_shape(fingerprint, target_spacing)
+    transpose_forward, transpose_backward = determine_transpose(target_spacing)
+    # everything below (patch/pool/conv/spacing) is in TRANSPOSED axis order
+    target_spacing = target_spacing[transpose_forward]
+    median_shape = median_shape[transpose_forward]
     total_voxels = float(np.sum([np.prod(fingerprint["shapes_after_crop"][c])
                                  for c in fingerprint["cases"]]))
 
@@ -251,6 +267,8 @@ def plan_experiment(fingerprint: dict, plans_name: str = "nnUNetPlansv2.1") -> P
         original_median_spacing=[float(s) for s in np.median(
             np.array([fingerprint["spacings"][c] for c in fingerprint["cases"]]), axis=0)],
         original_median_shape=[int(x) for x in median_shape],
+        transpose_forward=transpose_forward,
+        transpose_backward=transpose_backward,
         configurations=configurations,
     )
 

@@ -114,6 +114,15 @@ def preprocess_case(task_dir: str, case: str, plans: Plans, config_name: str,
     cfg = plans.config(config_name)
     data, seg, spacing, affine = load_case(task_dir, case, plans.num_modalities)
     orig_shape = data.shape[1:]
+    orig_spacing = list(spacing)
+    # reorder axes to plans space (coarsest first) — patch/pool geometry and
+    # every downstream array live in this order; restore_softmax un-transposes
+    tf = list(getattr(plans, "transpose_forward", [0, 1, 2]))
+    if tf != [0, 1, 2]:
+        data = np.ascontiguousarray(data.transpose([0] + [a + 1 for a in tf]))
+        if seg is not None:
+            seg = np.ascontiguousarray(seg.transpose(tf))
+        spacing = [spacing[a] for a in tf]
     data, seg, bbox, mask = crop_to_nonzero(data, seg)
     target_spacing = np.array(cfg.spacing[-3:], dtype=np.float64)
     data_r = resample_image(data, spacing, target_spacing, is_seg=False)
@@ -138,8 +147,9 @@ def preprocess_case(task_dir: str, case: str, plans: Plans, config_name: str,
                         **{str(k): v for k, v in locs.items()})
     props = {
         "case": case,
-        "original_shape": [int(x) for x in orig_shape],
-        "original_spacing": [float(s) for s in spacing],
+        "original_shape": [int(x) for x in orig_shape],   # untransposed
+        "original_spacing": [float(s) for s in orig_spacing],
+        "transpose_forward": tf,                          # bbox/shapes below are in tf space
         "crop_bbox": [[int(b[0]), int(b[1])] for b in bbox],
         "resampled_shape": [int(x) for x in data_r.shape[1:]],
         "target_spacing": [float(s) for s in target_spacing],

@@ -88,6 +88,31 @@ def test_sliding_window_real_unet_matches_direct():
     np.testing.assert_allclose(probs, np.asarray(direct), atol=1e-4)
 
 
+def test_overlap_add_matches_scatter_fallback():
+    """The regular-grid overlap-add core must agree with the scatter core on
+    the SAME padded volume/grid (same windows, same gaussian weighting)."""
+    from lifelong_nnunet_tpu.inference.sliding_window import (
+        _prepare, _run_core, _cached_grid, _sliding_window_jit)
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+    model = GenericUNet(num_classes=3, pool_op_kernel_sizes=((2, 2, 2),),
+                        conv_kernel_sizes=((3, 3, 3), (3, 3, 3)),
+                        base_num_features=4, max_num_features=8)
+    rng = np.random.RandomState(2)
+    data = rng.rand(20, 24, 18, 1).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 1)))["params"]
+    apply_fn = lambda p, xx: model.apply({"params": p}, xx)
+    patch = (16, 16, 16)
+    prep = _prepare(data, patch, 0.5, 3, True)
+    assert prep[5] is not None, "even patch + step 0.5 must take the fast path"
+    dev = jnp.asarray(prep[0])
+    fast = _run_core(apply_fn, params, dev, prep, patch, 3, (0, 2), "probs")
+    origins, wb, valid = _cached_grid(tuple(prep[0].shape[:-1]), patch, 0.5, 3)
+    slow = _sliding_window_jit(params, dev, jnp.asarray(origins),
+                               jnp.asarray(valid), jnp.asarray(prep[4]),
+                               apply_fn, 3, wb, patch, (0, 2), "probs")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=2e-5)
+
+
 def test_restore_softmax():
     probs = np.zeros((6, 6, 6, 2), np.float32)
     probs[..., 1] = 0.8

@@ -122,3 +122,56 @@ def test_3d_lowres_planned_for_large_datasets():
     full = plans.config("3d_fullres")
     assert np.prod(low.spacing) > np.prod(full.spacing)  # coarser voxels
     assert all(p <= 256 for p in full.patch_size)  # budget respected
+
+
+def test_transpose_forward_planning_and_roundtrip(tmp_path):
+    """Anisotropic data (coarse LAST axis): the planner must put the coarse
+    axis first (transpose_forward), preprocessing must emit arrays in that
+    order, and restore_softmax must return predictions in ORIGINAL axis order
+    (reference plans surgery + un-transpose, inference/predict.py:224-226,354-362)."""
+    from lifelong_nnunet_tpu.planning.plans import determine_transpose
+    from lifelong_nnunet_tpu.inference.predict import (
+        preprocess_for_inference, restore_softmax)
+    from tests.synthetic import make_synthetic_task
+
+    assert determine_transpose(np.array([1.0, 1.0, 4.0]))[0] == [2, 0, 1]
+    assert determine_transpose(np.array([4.0, 1.0, 1.0]))[0] == [0, 1, 2]
+
+    td = make_synthetic_task(str(tmp_path / "raw"), num_cases=4, seed=1,
+                             shape=(20, 24, 28), spacing=(1.0, 1.0, 4.0))
+    plans = plan_experiment(analyze_dataset(td))
+    assert plans.transpose_forward == [2, 0, 1]
+    assert plans.transpose_backward == [1, 2, 0]
+    cfg = plans.config("3d_fullres")
+    # plans spacing is in transposed order: coarse axis first
+    assert cfg.spacing[0] == max(cfg.spacing)
+
+    # preprocessed training arrays live in transposed space
+    stage = preprocess_task(td, plans, str(tmp_path / "pre"),
+                            configs=("3d_fullres",))["3d_fullres"]
+    case = sorted(c[:-4] for c in os.listdir(stage) if c.endswith(".npy"))[0]
+    arr = np.load(os.path.join(stage, f"{case}.npy"))
+    props = json.load(open(os.path.join(stage, f"{case}.props.json")))
+    assert props["transpose_forward"] == [2, 0, 1]
+    assert list(arr.shape[1:]) == props["resampled_shape"]
+    # spacings all equal target -> no resample; the 2-voxel zero border crops
+    # (20,24,28) to (16,20,24), transposed by [2,0,1] to (24,16,20)
+    assert tuple(arr.shape[1:]) == (24, 16, 20)
+
+    # inference prep + restore round-trip back to ORIGINAL axis order,
+    # bit-exact for an identity "model" (monotone map of the input values)
+    img_file = os.path.join(td, "imagesTr", f"{case}_0000.nii.gz")
+    data, iprops = preprocess_for_inference([img_file], plans, "3d_fullres")
+    assert list(data.shape[:-1]) == iprops["resampled_shape"]
+    probs = np.concatenate([np.zeros_like(data), data], axis=-1)
+    full = restore_softmax(probs, iprops)
+    assert full.shape == (20, 24, 28, 2)
+    # inside the crop box (in original order) values must match the
+    # preprocessed voxels transposed back — verifies axes were not mixed up
+    tb = [1, 2, 0]
+    back = np.ascontiguousarray(data[..., 0].transpose(tb))
+    bbox_t = iprops["crop_bbox"]          # in transposed space
+    bbox_orig = [bbox_t[tb[a]] for a in range(3)]
+    sl = tuple(slice(b[0], b[1]) for b in bbox_orig)
+    np.testing.assert_array_equal(full[sl][..., 1], back)
+    assert full[..., 0].flat[0] == 1.0    # outside crop = background
