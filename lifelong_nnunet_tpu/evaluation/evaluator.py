@@ -22,12 +22,23 @@ from ..training.trainer import MultiHeadTrainer, TrainerOptions
 
 
 class Evaluator:
+    """Evaluation runs with full TTA mirroring (``mirror_axes=None`` →
+    inference default) so its metrics are comparable with evaluator2 and
+    ``nnUNet_inference`` outputs.
+
+    Plain single-task base models (``nnUNetTrainerV2`` / ``nnViTUNetTrainer``
+    checkpoints) evaluate cross-task WITHOUT the reference's throwaway
+    MultiHead-trainer wrap (``evaluator.py:149-190``): every trainer here is
+    already a multi-head param partition, and tasks without a matching head
+    fall back to the last (only) head inside ``_perform_validation``."""
+
     def __init__(self, checkpoint_base: str, options: TrainerOptions | None = None):
         self.trainer: MultiHeadTrainer = restore_trainer(checkpoint_base, options)
 
     def evaluate_on(self, task_stage_dirs: dict, output_folder: str,
                     use_head: str | None = None,
-                    always_use_last_head: bool = False) -> dict:
+                    always_use_last_head: bool = False,
+                    mirror_axes: tuple | None = None) -> dict:
         """task_stage_dirs: {task_name: preprocessed stage dir}.  Evaluates on
         each task's validation split (same fold split as training)."""
         os.makedirs(output_folder, exist_ok=True)
@@ -37,7 +48,8 @@ class Evaluator:
         tr.output_folder = output_folder
         results = tr._perform_validation(list(task_stage_dirs), use_head=use_head,
                                          always_use_last_head=always_use_last_head,
-                                         call_for_eval=True)
+                                         call_for_eval=True,
+                                         mirror_axes=mirror_axes)
         self._write_summary(results, output_folder)
         self._write_model_summary(output_folder)
         return results

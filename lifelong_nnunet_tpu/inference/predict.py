@@ -108,10 +108,13 @@ def remove_all_but_largest_component(seg: np.ndarray, labels=None) -> np.ndarray
 def predict_case(apply_fn, params_per_fold: list, image_files: list, plans,
                  config_name: str, mirror_axes=(0, 1, 2), step_fraction=0.5,
                  window_batch: int = 4, do_tta: bool = True,
-                 postprocess_labels=None):
+                 postprocess_labels=None, preprocessed=None):
     """Predict one case, ensembling softmax over folds. Returns (seg uint8
-    [*orig_shape], softmax [*orig, K], props)."""
-    data, props = preprocess_for_inference(image_files, plans, config_name)
+    [*orig_shape], softmax [*orig, K], props).  ``preprocessed`` optionally
+    supplies an already-preprocessed ``(data, props)`` pair (the look-ahead
+    pipeline in ``predict_from_folder``)."""
+    data, props = preprocessed or preprocess_for_inference(
+        image_files, plans, config_name)
     cfg = plans.config(config_name)
     num_classes = plans.num_classes + 1
     probs = None
@@ -142,10 +145,16 @@ def predict_from_folder(apply_fn, params_per_fold: list, plans, config_name: str
                         input_folder: str, output_folder: str,
                         num_modalities: int | None = None, do_tta: bool = True,
                         window_batch: int = 4, postprocess_labels=None,
-                        io_workers: int = 2) -> list:
+                        io_workers: int = 2, lookahead: int = 2) -> list:
     """Predict every case in a folder of ``<case>_0000.nii.gz``-style images
     (reference ``predict_from_folder``, ``inference/predict.py:324-401``).
-    Device inference overlaps with host preprocessing/export via threads."""
+
+    Host preprocessing runs ``lookahead`` cases AHEAD of device inference on
+    worker threads, and NIfTI export trails behind asynchronously — per-case
+    latency approaches max(preprocess, device, export) instead of their sum
+    (the reference's multiprocess preprocessing queue + export pool,
+    ``inference/predict.py:23-114,255-259``; threads suffice here because the
+    heavy host work is numpy/scipy which releases the GIL)."""
     os.makedirs(output_folder, exist_ok=True)
     num_modalities = num_modalities or plans.num_modalities
     files = sorted(f for f in os.listdir(input_folder) if f.endswith((".nii", ".nii.gz")))
@@ -154,17 +163,27 @@ def predict_from_folder(apply_fn, params_per_fold: list, plans, config_name: str
         base = f[:-7] if f.endswith(".nii.gz") else f[:-4]
         case = base[:-5] if len(base) > 5 and base[-5] == "_" and base[-4:].isdigit() else base
         cases.setdefault(case, []).append(os.path.join(input_folder, f))
+    ordered = sorted(cases.items())
     written = []
     with ThreadPoolExecutor(max_workers=io_workers) as pool:
-        futures = []
-        for case, imgs in sorted(cases.items()):
+        prep = {}   # case index -> future of (data, props)
+        def submit_prep(idx):
+            if 0 <= idx < len(ordered) and idx not in prep:
+                prep[idx] = pool.submit(preprocess_for_inference,
+                                        sorted(ordered[idx][1]), plans, config_name)
+        for i in range(lookahead + 1):
+            submit_prep(i)
+        exports = []
+        for i, (case, imgs) in enumerate(ordered):
+            pre = prep.pop(i).result()
+            submit_prep(i + lookahead + 1)
             seg, _, props = predict_case(
                 apply_fn, params_per_fold, sorted(imgs), plans, config_name,
                 do_tta=do_tta, window_batch=window_batch,
-                postprocess_labels=postprocess_labels)
+                postprocess_labels=postprocess_labels, preprocessed=pre)
             out_file = os.path.join(output_folder, f"{case}.nii.gz")
-            futures.append(pool.submit(export_segmentation, seg, props, out_file))
+            exports.append(pool.submit(export_segmentation, seg, props, out_file))
             written.append(out_file)
-        for f in futures:
+        for f in exports:
             f.result()
     return written

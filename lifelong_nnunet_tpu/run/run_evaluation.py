@@ -14,7 +14,7 @@ import os
 from .. import paths
 from ..evaluation.evaluator import Evaluator
 from ..evaluation.evaluator2 import run_evaluation2
-from ..training.output_paths import build_output_folder
+from ..training.output_paths import arch_dir, build_output_folder
 from ..training.restore import find_checkpoint
 from .plan_and_preprocess import resolve_task
 from .run_training import _camel, stage_dir_for
@@ -70,9 +70,29 @@ def _resolve_task_args(args):
         args.use = [resolve(t) for t in args.use]
 
 
+BASE_TRAINERS = {"nnUNetTrainerV2": False, "base_v2": False,
+                 "nnViTUNetTrainer": True, "vit_unet": True}
+
+
 def _locate_model(args, results, fold):
     from ..training.trainers import get_trainer
     trainer_cls = get_trainer(args.trainer)
+    if args.trainer in BASE_TRAINERS:
+        # plain single-task base models live in the nnU-Net-style tree
+        # results/<network>/<task>/<Trainer>__<plans>/<arch>/fold_X
+        # (reference wraps these for cross-task eval, evaluator.py:149-190)
+        is_vit = BASE_TRAINERS[args.trainer]
+        name = "nnViTUNetTrainer" if is_vit else "nnUNetTrainerV2"
+        task = (args.use or args.trained_on)[-1]
+        folder = os.path.join(
+            results, args.network, task, f"{name}__{args.plans_identifier}",
+            arch_dir(vit=is_vit, vit_version=f"V{args.vit_version}",
+                     vit_type=args.vit_type, spt=args.do_SPT, lsa=args.do_LSA),
+            f"fold_{fold}")
+        ckpt = find_checkpoint(folder)
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint in {folder}")
+        return ckpt
     trainer_name = args.trainer if args.trainer.startswith("nnUNetTrainer") \
         else f"nnUNetTrainer{_camel(args.trainer)}"
     transfer = trainer_cls.TRANSFER_HEADS and not args.no_transfer_heads

@@ -31,6 +31,11 @@ def main(argv=None):
     p.add_argument("network", choices=["2d", "3d_lowres", "3d_fullres"])
     p.add_argument("task")
     p.add_argument("fold", type=int)
+    p.add_argument("-trainer_class", default="nnViTUNetTrainer",
+                   choices=["nnViTUNetTrainer", "nnUNetTrainerV2"],
+                   help="nnUNetTrainerV2 trains a plain single-task U-Net base "
+                        "model (upstream nnUNet_train stand-in) usable with "
+                        "--init_seq and cross-task evaluation")
     p.add_argument("-num_epochs", type=int, default=100)
     p.add_argument("-num_iters", type=int, default=250)
     p.add_argument("-val_iters", type=int, default=50)
@@ -54,6 +59,7 @@ def main(argv=None):
     results = paths.require(paths.results_dir(), "results")
     task = os.path.basename(resolve_task(args.task, pre))
     plans = Plans.load(plans_path(os.path.join(pre, task), args.plans_identifier))
+    use_vit = args.trainer_class == "nnViTUNetTrainer"
     opts = TrainerOptions(
         num_epochs=args.num_epochs, iters_per_epoch=args.num_iters,
         val_iters=args.val_iters, save_every=args.save_interval, fold=args.fold,
@@ -61,15 +67,19 @@ def main(argv=None):
         patch_size=tuple(args.patch_size) if args.patch_size else None,
         batch_size=args.batch_size, augment=not args.no_augment,
         base_num_features=args.base_features, max_num_features=args.max_features,
-        use_vit=True, vit_version=f"V{args.vit_version}", vit_type=args.vit_type,
+        use_vit=use_vit, vit_version=f"V{args.vit_version}", vit_type=args.vit_type,
         vit_lsa=args.do_LSA, vit_spt=args.do_SPT,
         vit_depth_override=args.vit_depth)
     out = os.path.join(
-        results, args.network, task, f"nnViTUNetTrainer__{args.plans_identifier}",
-        arch_dir(vit=True, vit_version=f"V{args.vit_version}", vit_type=args.vit_type,
-                 spt=args.do_SPT, lsa=args.do_LSA),
+        results, args.network, task, f"{args.trainer_class}__{args.plans_identifier}",
+        arch_dir(vit=use_vit, vit_version=f"V{args.vit_version}",
+                 vit_type=args.vit_type, spt=args.do_SPT, lsa=args.do_LSA),
         f"fold_{args.fold}")
-    trainer = ViTUNetTrainer(plans, args.network, out, opts)
+    if use_vit:
+        trainer = ViTUNetTrainer(plans, args.network, out, opts)
+    else:
+        from ..training.trainers.sequential import BaseUNetTrainer
+        trainer = BaseUNetTrainer(plans, args.network, out, opts)
     trainer.train_task(task, stage_dir_for(pre, task, args.network))
     print(f"finished {task} -> {out}")
     return 0

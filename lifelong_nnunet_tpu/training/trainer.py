@@ -450,11 +450,22 @@ class MultiHeadTrainer:
     # -------------------------------------------------------------- validation
     def _perform_validation(self, tasks: list | None = None, use_head: str | None = None,
                             always_use_last_head: bool = False, tag: str = "",
-                            call_for_eval: bool = False) -> dict:
+                            call_for_eval: bool = False,
+                            mirror_axes: tuple | None = None) -> dict:
         """Cross-task per-subject Dice/IoU (reference ``:678-901``): for every
         trained task (or the given list), run sliding-window inference on that
         task's validation cases with the matching head (or ``use_head``),
-        write results to val_metrics.json/csv."""
+        write results to val_metrics.json/csv.
+
+        ``mirror_axes=None`` resolves to full TTA mirroring for evaluation
+        calls (matching inference/evaluator2 defaults, so Evaluator and
+        evaluator2 metrics are comparable) and to no TTA for the cheap
+        periodic in-training validation (the reference's periodic
+        ``_perform_validation`` is likewise a patch eval without mirroring;
+        its final ``validate()`` mirrors)."""
+        if mirror_axes is None:
+            mirror_axes = (0, 1, 2) if call_for_eval else ()
+        mirror_axes = tuple(a for a in mirror_axes if a < len(self.patch_size))
         results = {}
         tasks = tasks or list(self._datasets.keys())
         for t in tasks:
@@ -473,7 +484,7 @@ class MultiHeadTrainer:
                 pad = [(0, b - s) for s, b in zip(data.shape[:-1], bshape)] + [(0, 0)]
                 probs = predict_sliding_window(
                     apply_fn, params, np.pad(data, pad), self.patch_size,
-                    self.num_classes, mirror_axes=(), window_batch=4)
+                    self.num_classes, mirror_axes=mirror_axes, window_batch=4)
                 probs = probs[tuple(slice(0, s) for s in data.shape[:-1])]
                 pred = np.argmax(probs, axis=-1)
                 from ..evaluation.metrics import subject_metrics

@@ -6,7 +6,7 @@ Replaces the reference's filesystem-scanning registry (``run/run_training.py:
 declared, not discovered, so it is import-safe and typo-checked."""
 
 from ..trainer import MultiHeadTrainer
-from .sequential import SequentialTrainer
+from .sequential import BaseUNetTrainer, SequentialTrainer
 from .rehearsal import RehearsalTrainer
 from .ewc import EWCLNTrainer, EWCTrainer, EWCUNetTrainer, EWCViTTrainer
 from .rw import RWTrainer
@@ -20,6 +20,7 @@ from .own import OwnM1Trainer, OwnM2Trainer, OwnM3Trainer, OwnM4Trainer
 TRAINER_MAP = {
     "multihead": MultiHeadTrainer,
     "sequential": SequentialTrainer,
+    "base_v2": BaseUNetTrainer,
     "rehearsal": RehearsalTrainer,
     "ewc": EWCTrainer,
     "ewc_vit": EWCViTTrainer,
@@ -43,6 +44,7 @@ TRAINER_MAP = {
 
 # reference class names -> ours, for CLI/checkpoint compatibility
 CLASS_NAME_MAP = {
+    "nnUNetTrainerV2": BaseUNetTrainer,
     "nnUNetTrainerMultiHead": MultiHeadTrainer,
     "nnUNetTrainerSequential": SequentialTrainer,
     "nnUNetTrainerRehearsal": RehearsalTrainer,

@@ -13,3 +13,13 @@ class SequentialTrainer(MultiHeadTrainer):
     EXTENSION = "sequential"
     TRANSFER_HEADS = True
     HYPERPARAMS: dict = {}
+
+
+class BaseUNetTrainer(SequentialTrainer):
+    """Plain single-task trainer — the stand-in for upstream
+    ``nnUNetTrainerV2`` base models (the reference evaluates and init-seeds
+    from these via a special path, ``run/default_configuration.py:74-75``,
+    ``evaluation/evaluator.py:149-190``).  Structurally a one-task
+    SequentialTrainer; its checkpoints restore and evaluate cross-task like
+    any other (tasks without a head fall back to the only head)."""
+    EXTENSION = "base_v2"

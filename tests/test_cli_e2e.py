@@ -264,3 +264,30 @@ def test_evaluate_initialization(trained, tmp_path):
     with open(found[0]) as f:
         res = _json.load(f)
     assert "Task097_SynthA" in res
+
+
+def test_base_model_train_and_cross_task_eval(preprocessed):
+    """Plain single-task base model (reference nnUNetTrainerV2): train via
+    nnUNet_train_vit -trainer_class nnUNetTrainerV2, then evaluate it
+    CROSS-TASK with nnUNet_evaluate (the reference wraps such models in a
+    throwaway MultiHead trainer, evaluator.py:149-190; here the fallback to
+    the only head serves both tasks)."""
+    from lifelong_nnunet_tpu.run.run_training_vit import main as vit_main
+    from lifelong_nnunet_tpu.run.run_evaluation import run_evaluation
+    vit_main(["3d_fullres", "97", "0", "-trainer_class", "nnUNetTrainerV2"] + TINY)
+    results = preprocessed / "results" / "nnUNet_ext" / "3d_fullres"
+    d = (results / "Task097_SynthA" / "nnUNetTrainerV2__nnUNetPlansv2.1"
+         / "Generic_UNet" / "fold_0")
+    assert (d / "model_final_checkpoint.ckpt").is_file()
+    run_evaluation(["3d_fullres", "nnUNetTrainerV2",
+                    "-trained_on", "Task097_SynthA",
+                    "-evaluate_on", "97", "98", "-f", "0"])
+    eval_dir = (preprocessed / "eval" / "nnUNet_ext" / "3d_fullres"
+                / "Task097_SynthA" / "nnUNetTrainerV2__nnUNetPlansv2.1"
+                / "Generic_UNet" / "fold_0")
+    assert (eval_dir / "summarized_val_metrics.csv").is_file()
+    with open(eval_dir / "val_metrics_eval.json") as f:
+        res = json.load(f)[0]["results"]
+    assert set(res) == {"Task097_SynthA", "Task098_SynthB"}
+    # both tasks evaluated with the base model's single head
+    assert res["Task098_SynthB"]["head"] == "Task097_SynthA"

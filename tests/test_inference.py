@@ -1,5 +1,6 @@
 """M2 tests: sliding-window machinery + full prediction pipeline."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -210,3 +211,43 @@ def test_sharded_inference_per_volume_undo():
         ref = predict_sliding_window(_const_apply, params, v, (16, 16, 16), 2,
                                      mirror_axes=(), output="seg")
         np.testing.assert_array_equal(s, ref)
+
+
+def test_predict_from_folder_overlaps_preprocessing(tmp_path, monkeypatch):
+    """Look-ahead pipeline: preprocessing of case i+1..i+2 must overlap with
+    'device' inference of case i (reference preprocess queue,
+    inference/predict.py:23-114). With sleepy stages, wall-clock must beat
+    the serial sum by a wide margin."""
+    import time
+    from lifelong_nnunet_tpu.inference import predict as P
+
+    for i in range(4):
+        open(tmp_path / f"case{i}_0000.nii.gz", "wb").write(b"x")
+
+    def slow_prep(files, plans, config_name):
+        time.sleep(0.15)
+        return np.zeros((4, 4, 4, 1), np.float32), {"case": files[0]}
+
+    def slow_predict(apply_fn, params, image_files, plans, config_name,
+                     preprocessed=None, **kw):
+        assert preprocessed is not None  # pipeline must hand over the prep
+        time.sleep(0.15)
+        return np.zeros((4, 4, 4), np.uint8), None, preprocessed[1]
+
+    def quick_export(seg, props, out_file):
+        time.sleep(0.05)
+        open(out_file, "wb").write(b"seg")
+
+    monkeypatch.setattr(P, "preprocess_for_inference", slow_prep)
+    monkeypatch.setattr(P, "predict_case", slow_predict)
+    monkeypatch.setattr(P, "export_segmentation", quick_export)
+
+    class FakePlans:
+        num_modalities = 1
+    t0 = time.perf_counter()
+    written = P.predict_from_folder(None, [None], FakePlans(), "3d_fullres",
+                                    str(tmp_path), str(tmp_path / "out"))
+    dt = time.perf_counter() - t0
+    assert len(written) == 4 and all(os.path.exists(w) for w in written)
+    serial = 4 * (0.15 + 0.15 + 0.05)   # 1.4s
+    assert dt < serial * 0.8, f"no overlap: {dt:.2f}s vs serial {serial:.2f}s"
