@@ -95,6 +95,10 @@ def build_parser(extension: str) -> argparse.ArgumentParser:
                    help="shrink the ViT transformer (tests/quick experiments)")
     p.add_argument("-n_devices", type=int, default=None,
                    help="data-parallel devices (SPMD mesh; batch is sharded)")
+    p.add_argument("-model_parallel", type=int, default=1,
+                   help="shard conv/dense feature dims over this many of the "
+                        "n_devices (mesh = data x model; replaces the "
+                        "reference's --use_mult_gpus split_gpu)")
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv stages (less HBM, ~30%% more FLOPs)")
@@ -152,6 +156,7 @@ def run_training(extension: str, argv=None):
             vit_type=args.vit_type, vit_lsa=args.do_LSA, vit_spt=args.do_SPT,
             vit_task_specific_ln=args.task_specific_ln,
             vit_depth_override=args.vit_depth, n_devices=args.n_devices,
+            model_parallel=args.model_parallel,
             remat=args.remat)
         meta_dir = metadata_folder(results, args.network, task_names, trainer_name,
                                    args.plans_identifier, transfer, **arch_kwargs)

@@ -71,6 +71,11 @@ class TrainerOptions:
     # params replicated — GSPMD inserts the gradient all-reduce over ICI).
     # None/1 = single device.  SURVEY.md §2.7: replaces the absent DDP.
     n_devices: int | None = None
+    # shard conv/dense output-feature dims over this many of the n_devices
+    # (mesh = data × model; GSPMD inserts the activation collectives over
+    # ICI).  Replaces the reference's manual 2-GPU split_gpu placement of the
+    # ViT (generic_ViT_UNet.py:239-257) and frees HBM for ViT-large/huge.
+    model_parallel: int = 1
     # write a jax.profiler trace of the first training epoch to this dir
     # (SURVEY.md §5: the reference has no profiler; we make one first-class)
     profile_dir: str | None = None
@@ -236,22 +241,33 @@ class MultiHeadTrainer:
         n_dev = self.opts.n_devices
         if n_dev and n_dev > 1:
             import jax as _jax
-            from ..parallel.mesh import batch_sharding, make_mesh, replicated
+            from ..parallel.mesh import (batch_sharding, make_mesh,
+                                         param_shardings, replicated)
             if len(_jax.devices()) < n_dev:
                 raise RuntimeError(f"n_devices={n_dev} but only "
                                    f"{len(_jax.devices())} devices visible")
-            if self.batch_size % n_dev:
+            mp = max(1, self.opts.model_parallel)
+            if n_dev % mp:
+                raise RuntimeError(f"model_parallel={mp} must divide n_devices={n_dev}")
+            dp = n_dev // mp
+            if self.batch_size % dp:
                 # round the batch up so it shards evenly
-                self.batch_size = -(-self.batch_size // n_dev) * n_dev
-            mesh = make_mesh(n_dev, data_parallel=n_dev, axis_names=("data", "model"))
-            rep = replicated(mesh)
-            params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
+                self.batch_size = -(-self.batch_size // dp) * dp
+            mesh = make_mesh(n_dev, data_parallel=dp, axis_names=("data", "model"))
+            if mp > 1:
+                # 2-axis SPMD: kernels shard their output-feature dim over
+                # 'model'; GSPMD propagates matching activation shardings
+                params = jax.tree.map(jax.device_put, params,
+                                      param_shardings(params, mesh))
+            else:
+                rep = replicated(mesh)
+                params = jax.tree.map(lambda x: jax.device_put(x, rep), params)
             dim = 2 + len(self.patch_size)
             self._batch_shardings = {
                 "data": batch_sharding(mesh, dim),
                 "seg": batch_sharding(mesh, dim - 1),
             }
-            self.logger(f"SPMD: {n_dev}-way data parallel mesh, batch {self.batch_size}")
+            self.logger(f"SPMD: mesh data={dp} x model={mp}, batch {self.batch_size}")
         self.state = TrainState.create(params, self.tx)
         # mid-task resume: adopt the state (params + optimizer momentum)
         # restored by load_checkpoint instead of the fresh one

@@ -179,3 +179,23 @@ def test_restore_roundtrip_all_methods(two_tasks, tmp_path, ext, kw):
     assert equal_params(tr.mh.assemble(task), tr2.mh.assemble(task))
     for k, v in tr.hyperparams.items():
         assert str(tr2.hyperparams.get(k)) == str(v)
+
+
+def test_model_parallel_training_matches_single_device(two_tasks, tmp_path):
+    """2-axis mesh (data=4 x model=2): sharding is a LAYOUT choice, so
+    training must produce numerically equal params to single-device (within
+    float tolerance) given identical batches (reference split_gpu analog,
+    generic_ViT_UNet.py:239-257)."""
+    plans, stages = two_tasks
+    task = "Task097_SynthA"
+    runs = {}
+    for name, extra in [("single", {}),
+                        ("sharded", {"n_devices": 8, "model_parallel": 2})]:
+        opts = small_opts(num_epochs=1, iters_per_epoch=3, batch_size=4, **extra)
+        tr = MultiHeadTrainer(plans, "3d_fullres", str(tmp_path / name), opts)
+        tr.train_task(task, stages[task], num_epochs=1)
+        runs[name] = jax.tree.map(np.asarray, tr.mh.assemble(task))
+    flat_a, flat_b = (jax.tree.leaves(runs["single"]), jax.tree.leaves(runs["sharded"]))
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4)
