@@ -189,6 +189,15 @@ class MultiHeadTrainer:
         tree. LwF wraps in {'main', 'prev_heads'} so previous heads train."""
         return assembled
 
+    def extra_manifest(self) -> dict:
+        """Per-trainer additions to the checkpoint manifest (LwF records its
+        training phase here so ``-c`` resumes into the right phase)."""
+        return {}
+
+    def _adopt_manifest(self, manifest: dict):
+        """Hook: adopt trainer-specific manifest fields during
+        ``load_checkpoint`` (before the train step is rebuilt)."""
+
     def _unwrap_params(self, step_params):
         """Inverse of _wrap_params: full nested tree for absorb/eval."""
         return step_params
@@ -236,7 +245,15 @@ class MultiHeadTrainer:
                                            loss_extras=self.loss_extras(),
                                            cl_state_update=self.cl_state_update())
         self._eval_step = make_eval_step(self.model, step_cfg)
-        params = self._wrap_params(self.mh.assemble())
+        params = self._setup_spmd(self._wrap_params(self.mh.assemble()))
+        self.state = TrainState.create(params, self.tx)
+        # mid-task resume: adopt the state (params + optimizer momentum)
+        # restored by load_checkpoint instead of the fresh one
+        self._adopt_resume_state()
+
+    def _setup_spmd(self, params):
+        """Place params on the device mesh (data × model axes) and prepare the
+        batch shardings; identity on a single device."""
         self._batch_shardings = None
         n_dev = self.opts.n_devices
         if n_dev and n_dev > 1:
@@ -268,9 +285,9 @@ class MultiHeadTrainer:
                 "seg": batch_sharding(mesh, dim - 1),
             }
             self.logger(f"SPMD: mesh data={dp} x model={mp}, batch {self.batch_size}")
-        self.state = TrainState.create(params, self.tx)
-        # mid-task resume: adopt the state (params + optimizer momentum)
-        # restored by load_checkpoint instead of the fresh one
+        return params
+
+    def _adopt_resume_state(self):
         resume = getattr(self, "_resume_state", None)
         if resume is not None:
             try:
@@ -360,8 +377,9 @@ class MultiHeadTrainer:
         # 'before_training' checkpoint: evaluator2's -evaluate_initialization
         # compares against the model before this task's training (reference
         # evaluator2.py:111-240). Multi-phase trainers (LwF) suppress the
-        # overwrite in later phases.
-        if not getattr(self, "_skip_before_ckpt", False):
+        # overwrite in later phases; a mid-task resume (start_epoch > 0) must
+        # also not clobber it with mid-task params.
+        if not (getattr(self, "_skip_before_ckpt", False) or start_epoch):
             self.save_checkpoint("before_training")
         sampler = self._make_sampler(task, train=True, seed_offset=len(self.mh.tasks))
         prefetch = Prefetcher(sampler, sharding=self._batch_shardings)
@@ -558,6 +576,7 @@ class MultiHeadTrainer:
             "transfer_heads": self.TRANSFER_HEADS,
             "hyperparams": {k: str(v) for k, v in self.hyperparams.items()},
         }
+        manifest.update(self.extra_manifest())
         checkpoints.save_checkpoint(
             os.path.join(self.output_folder, name), self.mh,
             opt_state=self.state.opt_state if self.state else None,
@@ -571,12 +590,22 @@ class MultiHeadTrainer:
         self.mh = mh
         self.epoch = manifest["epoch"]
         self.global_step = manifest["step"]
+        # let multi-phase trainers (LwF) adopt phase flags from the manifest
+        # BEFORE the step/optimizer are rebuilt, so the restored opt_state
+        # structure matches the rebuilt one
+        self._adopt_manifest(manifest)
         self._build_step()
-        self.state = TrainState.create(self.mh.assemble(), self.tx)
+        self.state = TrainState.create(self._wrap_params(self.mh.assemble()), self.tx)
         if restore_opt and manifest.get("has_opt_state"):
-            opt_state = checkpoints.restore_into(self.state.opt_state, blob["opt_state"])
-            self.state = self.state.replace(opt_state=opt_state,
-                                            step=jnp.asarray(self.global_step, jnp.int32))
+            try:
+                opt_state = checkpoints.restore_into(self.state.opt_state,
+                                                     blob["opt_state"])
+                self.state = self.state.replace(
+                    opt_state=opt_state,
+                    step=jnp.asarray(self.global_step, jnp.int32))
+            except (ValueError, KeyError, TypeError):
+                self.logger("checkpoint opt_state structure mismatch — "
+                            "resuming with a fresh optimizer")
         if manifest.get("has_cl_state") and blob.get("cl_state") is not None:
             template = self.cl_state
             try:

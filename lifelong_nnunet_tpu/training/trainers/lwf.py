@@ -50,6 +50,34 @@ class LwFTrainer(MultiHeadTrainer):
     def init_cl_state(self):
         return {"old_models": None}  # {prev_task: nested params}
 
+    # ------------------------------------------------ phase-aware checkpoints
+    def extra_manifest(self):
+        # 0 = first task (plain), 1 = freeze_run, 2 = joint distillation —
+        # lets ``-c`` resume re-enter the correct phase (reference LwF has no
+        # mid-task resume at all; its phases restart)
+        phase = 2 if self._joint_phase else (
+            1 if getattr(self, "_freeze_body", False) else 0)
+        return {"lwf_phase": phase}
+
+    def _adopt_manifest(self, manifest):
+        self._loaded_phase = int(manifest.get("lwf_phase", 0))
+        # set the phase flags BEFORE _build_step so the rebuilt step/optimizer
+        # (masked tx for phase 1, wrapped param tree for phase 2) match the
+        # checkpointed opt_state structure
+        self._joint_phase = self._loaded_phase == 2
+        self._freeze_body = self._loaded_phase == 1
+
+    def save_checkpoint(self, name: str):
+        # joint phase: distillation gradients update the PREVIOUS heads inside
+        # state.params — sync them into the head registry so mid-phase
+        # checkpoints (model_latest/model_best) are complete and resumable
+        if self._joint_phase and self.state is not None \
+                and isinstance(self.state.params, dict) \
+                and "prev_heads" in self.state.params:
+            for t, head in self.state.params["prev_heads"].items():
+                self.mh.heads[t] = dict(head)
+        super().save_checkpoint(name)
+
     # -------------------------------------------------- param tree wrapping
     def _wrap_params(self, assembled):
         if not self._joint_phase:
@@ -66,15 +94,38 @@ class LwFTrainer(MultiHeadTrainer):
     def train_task(self, task: str, stage_dir: str, num_epochs: int | None = None,
                    start_epoch: int = 0):
         first = self.mh is None
+        # a restored trainer resuming the FIRST task mid-task is also "first":
+        # the manifest phase is 0 (plain training) and the task is the only one
+        if not first and start_epoch and getattr(self, "_loaded_phase", 0) == 0 \
+                and list(self.mh.tasks) == [task]:
+            first = True
         if first:
             self._joint_phase = False
             super().train_task(task, stage_dir, num_epochs, start_epoch=start_epoch)
             return
-        if start_epoch:
-            # LwF's two phases share one model_latest stream; a mid-task epoch
-            # offset is ambiguous across phases — restart the task's phases.
-            self.logger(f"[{task}] LwF ignores start_epoch={start_epoch}; "
-                        "restarting both phases for this task")
+        # mid-task resume: the checkpoint manifest records which phase the
+        # model_latest belongs to (see extra_manifest), so `-c` re-enters that
+        # phase at the right epoch instead of restarting both phases
+        resume_phase = int(getattr(self, "_loaded_phase", 0)) if start_epoch else 0
+        if resume_phase == 2:
+            self.register_task_data(task, stage_dir)
+            self._freeze_body = False
+            self._joint_phase = True
+            self._skip_before_ckpt = True
+            if not isinstance(self.cl_state.get("old_models"), dict):
+                # cl_state lost (e.g. checkpoint saved without it): rebuild
+                # teachers from the restored previous heads — equivalent as
+                # long as the joint phase just started; log either way
+                self.logger(f"[{task}] LwF resume: rebuilding teacher snapshots "
+                            "from restored heads")
+                self.cl_state = {"old_models": {t: self.mh.assemble(t)
+                                                for t in self.mh.tasks[:-1]}}
+            self.logger(f"[{task}] LwF resume: joint phase from epoch {start_epoch}")
+            super().train_task(task, stage_dir, num_epochs,
+                               start_epoch=start_epoch)
+            self._joint_phase = False
+            self._skip_before_ckpt = False
+            return
         # Phase 1: freeze body, train the new head plain (freeze_run)
         self.register_task_data(task, stage_dir)
         if task not in self.mh.tasks:
@@ -84,8 +135,11 @@ class LwFTrainer(MultiHeadTrainer):
         self._suppress_finalize = True
         fe = self.freeze_epochs if self.freeze_epochs is not None else (
             num_epochs or self.opts.num_epochs)
+        if resume_phase == 1:
+            self.logger(f"[{task}] LwF resume: freeze phase from epoch {start_epoch}")
         self.logger(f"[{task}] LwF phase 1: frozen-body head training ({fe} epochs)")
-        super().train_task(task, stage_dir, num_epochs=fe)
+        super().train_task(task, stage_dir, num_epochs=fe,
+                           start_epoch=start_epoch if resume_phase == 1 else 0)
         self._suppress_finalize = False
         self.save_checkpoint("model_freezed")
         self._skip_before_ckpt = True  # phase 2 must not overwrite before_training
@@ -160,7 +214,10 @@ class LwFTrainer(MultiHeadTrainer):
         from ..train_step import StepConfig, make_eval_step
         self._eval_step = make_eval_step(model, StepConfig(
             ds_factors=dsf, batch_dice=batch_dice, num_classes=nc, augment=None))
-        self.state = TrainState.create(self._wrap_params(self.mh.assemble()), self.tx)
+        params = self._setup_spmd(self._wrap_params(self.mh.assemble()))
+        self.state = TrainState.create(params, self.tx)
+        # mid-phase resume: adopt restored params + optimizer momentum
+        self._adopt_resume_state()
 
     def after_task(self, task: str):
         # absorb trained previous heads from the joint phase back into heads

@@ -245,3 +245,37 @@ def test_cascade_and_vit_trainer_restore(two_tasks, tmp_path):
     tr2 = restore_trainer(str(tmp_path / "vt" / "model_final_checkpoint"))
     assert type(tr2) is ViTUNetTrainer
     assert tr2.opts.use_vit and tr2.mh.tasks == [TASKS[0]]
+
+
+def test_lwf_mid_task_resume_joint_phase(two_tasks, tmp_path):
+    """An interrupted LwF joint phase resumes at its saved epoch (the manifest
+    records lwf_phase) instead of restarting both phases; teachers and the
+    model_freezed checkpoint from phase 1 are preserved."""
+    import json
+    from lifelong_nnunet_tpu.training.restore import restore_trainer
+    plans, stages = two_tasks
+    opts = small_opts(num_epochs=2, save_every=1)
+    tr = LwFTrainer(plans, "3d_fullres", str(tmp_path / "r1"), opts,
+                    freeze_epochs=1)
+    tr.train_task(TASKS[0], stages[TASKS[0]])
+    tr.train_task(TASKS[1], stages[TASKS[1]])
+    latest = os.path.join(tr.output_folder, "model_latest")
+    with open(latest + ".json") as f:
+        man = json.load(f)
+    assert man["lwf_phase"] == 2 and man["epoch"] == 1
+    frozen_mtime = os.path.getmtime(os.path.join(tr.output_folder,
+                                                 "model_freezed.ckpt"))
+
+    tr2 = restore_trainer(latest, small_opts(num_epochs=2, save_every=1),
+                          restore_opt=True)
+    assert tr2._loaded_phase == 2 and tr2._joint_phase
+    start = tr2.epoch + 1
+    tr2.train_task(TASKS[1], stages[TASKS[1]], num_epochs=start + 1,
+                   start_epoch=start)
+    # resumed directly into the joint phase: phase 1 did not rerun
+    assert os.path.getmtime(os.path.join(tr2.output_folder,
+                                         "model_freezed.ckpt")) == frozen_mtime
+    assert set(tr2.cl_state["old_models"]) == {TASKS[0]}
+    with open(os.path.join(tr2.output_folder,
+                           "model_final_checkpoint.json")) as f:
+        assert json.load(f)["epoch"] == start
