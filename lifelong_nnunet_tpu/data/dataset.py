@@ -61,6 +61,29 @@ def kfold_split(cases: list[str], fold: int, n_splits: int = 5, seed: int = 1234
     return [cases[i] for i in tr_idx], [cases[i] for i in val_idx]
 
 
+def final_splits(task_dir: str, cases, n_splits: int = 5, seed: int = 12345) -> list:
+    """``splits_final.json`` in the preprocessed task dir (upstream nnU-Net's
+    user-editable ``splits_final.pkl``): read when present — users pin custom
+    splits by editing it — else compute every fold with ``kfold_split`` and
+    write it.  Returns ``[{"train": [...], "val": [...]}, ...]``."""
+    import json
+    path = os.path.join(task_dir, "splits_final.json")
+    if os.path.isfile(path):
+        with open(path) as f:
+            return json.load(f)
+    n = min(n_splits, len(cases)) if len(cases) >= 2 else 1
+    splits = []
+    for fold in range(n):
+        tr, val = kfold_split(cases, fold, n_splits=n_splits, seed=seed)
+        splits.append({"train": tr, "val": val})
+    try:
+        with open(path, "w") as f:
+            json.dump(splits, f, indent=2)
+    except OSError:
+        pass  # read-only preprocessed tree: in-memory splits still apply
+    return splits
+
+
 def param_search_split(train_cases: list[str], seed: int = 3299, val_frac: float = 0.2):
     """80:20 re-split of the *train* portion for parameter search so real
     validation data never leaks (reference ``multihead/…:193-243``)."""

@@ -47,6 +47,10 @@ def build_parser(two: bool) -> argparse.ArgumentParser:
         p.add_argument("--disable_tta", action="store_true")
         p.add_argument("--evaluate_initialization", action="store_true",
                        help="evaluate the 'before_training' checkpoint")
+        p.add_argument("--legacy_structure", action="store_true",
+                       help="reference legacy output tree: one merged "
+                            "val_metrics_*.{json,csv} + summarized txt instead "
+                            "of per-task subfolders (evaluator2.py:185-240)")
     return p
 
 
@@ -148,7 +152,8 @@ def run_evaluation2_cli(argv=None):
                            os.path.relpath(os.path.dirname(folder_ckpt), results),
                            "eval2")
         run_evaluation2(base, raw_dirs, out, use_head=args.use_head,
-                        do_tta=not args.disable_tta, no_delete=args.no_delete)
+                        do_tta=not args.disable_tta, no_delete=args.no_delete,
+                        fold=fold, legacy_structure=args.legacy_structure)
         print(f"[fold {fold}] evaluation2 written to {out}")
     return 0
 

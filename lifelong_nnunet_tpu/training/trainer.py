@@ -205,7 +205,16 @@ class MultiHeadTrainer:
     # -------------------------------------------------------------- data
     def register_task_data(self, task: str, stage_dir: str):
         ds = PreprocessedDataset(stage_dir)
-        tr, val = kfold_split(ds.cases, self.opts.fold)
+        fold = self.opts.fold
+        if fold == -1 or fold == "all":
+            tr, val = list(ds.cases), list(ds.cases)
+        else:
+            # splits_final.json in the task dir (user-editable, upstream
+            # nnU-Net convention); computed via kfold_split on first use
+            from ..data.dataset import final_splits
+            splits = final_splits(os.path.dirname(stage_dir), ds.cases)
+            s = splits[fold % len(splits)]
+            tr, val = list(s["train"]), list(s["val"])
         if self.opts.use_param_split:
             tr, val = param_search_split(tr)
         self._datasets[task] = (ds, tr, val)

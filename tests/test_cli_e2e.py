@@ -153,6 +153,47 @@ def test_evaluator2(trained, tmp_path):
     for m in cases.values():
         assert len(m["Dice"]) == 2
     assert (tmp_path / "e2" / "eval2_metrics.csv").is_file()
+    # reference (non-legacy) layout: per-task subfolder with val_metrics files
+    sub = tmp_path / "e2" / "Task097_SynthA"
+    assert (sub / "val_metrics_all.json").is_file()
+    assert (sub / "val_metrics_eval.csv").is_file()
+    import json as _json
+    with open(sub / "val_metrics_all.json") as f:
+        nested = _json.load(f)
+    all_cases = nested["epoch_XXX"]["Task097_SynthA"]
+    assert len(all_cases) == 6
+    case0 = next(iter(all_cases.values()))
+    assert set(case0) == {"mask_1", "mask_2"}
+    assert set(case0["mask_1"]) == {"IoU", "Dice"}
+    # val_metrics_eval keeps only this fold's validation split
+    with open(sub / "val_metrics_eval.json") as f:
+        eval_cases = _json.load(f)["epoch_XXX"]["Task097_SynthA"]
+    assert 0 < len(eval_cases) < len(all_cases)
+    assert set(eval_cases).issubset(set(all_cases))
+
+
+def test_evaluator2_legacy_structure(trained, tmp_path):
+    """--legacy_structure merges all tasks into one val_metrics json/csv +
+    summarized_metrics txt at the output root (reference evaluator2 legacy
+    tree, evaluator2.py:185-220)."""
+    from lifelong_nnunet_tpu.evaluation.evaluator2 import run_evaluation2
+    d2 = (trained / "results" / "nnUNet_ext" / "3d_fullres"
+          / "Task097_SynthA_Task098_SynthB" / "Task097_SynthA_Task098_SynthB"
+          / "nnUNetTrainerSequential__nnUNetPlansv2.1" / "Generic_UNet" / "SEQ"
+          / "fold_0")
+    raw = trained / "raw" / "nnUNet_raw_data"
+    run_evaluation2(str(d2 / "model_final_checkpoint"),
+                    {"Task097_SynthA": str(raw / "Task097_SynthA"),
+                     "Task098_SynthB": str(raw / "Task098_SynthB")},
+                    str(tmp_path / "leg"), do_tta=False, legacy_structure=True)
+    import json as _json
+    root = tmp_path / "leg"
+    with open(root / "val_metrics_all.json") as f:
+        nested = _json.load(f)["epoch_XXX"]
+    assert set(nested) == {"Task097_SynthA", "Task098_SynthB"}
+    assert (root / "val_metrics_eval.csv").is_file()
+    summary = (root / "summarized_metrics_val.txt").read_text()
+    assert "mean (+/- std)" in summary and "Task098_SynthB" in summary
 
 
 def test_2d_training_pipeline(preprocessed):
