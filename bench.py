@@ -1,79 +1,197 @@
-"""Benchmark: Gaussian sliding-window 3d_fullres inference throughput
-(volumes/sec/chip) — BASELINE.json's primary metric.
+"""Benchmarks. Default (driver contract): ONE JSON line for the primary
+metric — Gaussian sliding-window 3d_fullres inference throughput
+(volumes/sec/chip) at Task04_Hippocampus scale, BASELINE.json's headline.
 
-Workload: Task04_Hippocampus-scale geometry (the reference's smallest
-headline config): volume padded to a 2x2x2 window grid over a (40,56,40)
-patch, full 8-way mirroring TTA, Gaussian-weighted accumulation, bf16
-compute / fp32 accumulation, all fused into one jitted program with windows
-batched for the MXU.
+Extra workloads (VERDICT r1 #3 — prove perf beyond the easiest geometry):
+
+  python bench.py --workload ct         # CT-scale sliding window (128^3
+                                        # patch, 512x512x288 volume, config
+                                        # 3/5 analog), one JSON line
+  python bench.py --workload train_mfu  # one jitted train step at CT scale:
+                                        # reports achieved TFLOP/s and MFU
+  python bench.py --workload all        # all three, one JSON line each
+                                        # (primary metric printed LAST so
+                                        # single-line consumers still parse)
 
 ``vs_baseline`` compares against the PyTorch reference's estimated A100
-throughput for the same workload (nnU-Net v1 sliding window + TTA at
-hippocampus scale ~= 6 volumes/s on A100 — no number is checked into the
-reference repo, see BASELINE.md; this constant documents our assumption).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+throughput for the same workload (no numbers are checked into the reference
+repo; BASELINE.md documents the assumptions):
+  * hippocampus sliding window + 8-way TTA: ~6 volumes/s
+  * CT-scale (~200x 128^3 windows + TTA): ~0.25 volumes/s (~4 s/volume
+    device time — nnU-Net v1 full-res CT inference is minutes/case
+    end-to-end; device-only share estimated)
+  * train_mfu: vs_baseline reports MFU (fraction of peak bf16 FLOP/s).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 A100_REFERENCE_VOL_PER_S = 6.0
+A100_REFERENCE_CT_VOL_PER_S = 0.25
 
-PATCH = (40, 56, 40)
-VOLUME = (60, 84, 60)        # -> 2x2x2 window grid at step 0.5
-NUM_CLASSES = 3
-WARMUP_VOLS = 3
-TIMED_VOLS = 30
+# peak bf16 matmul FLOP/s per chip by device kind (public spec sheets)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+HIPPO = dict(patch=(40, 56, 40), volume=(60, 84, 60), classes=3,
+             pools=3, warmup=3, timed=30)
+CT = dict(patch=(128, 128, 128), volume=(512, 512, 288), classes=3,
+          pools=5, warmup=1, timed=3)
 
 
-def main():
+def _make_model(classes: int, pools: int, dtype):
+    import jax.numpy as jnp
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+    return GenericUNet(
+        num_classes=classes,
+        pool_op_kernel_sizes=((2, 2, 2),) * pools,
+        conv_kernel_sizes=((3, 3, 3),) * (pools + 1),
+        base_num_features=32, max_num_features=320,
+        dtype=dtype)
+
+
+def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from lifelong_nnunet_tpu.inference.sliding_window import (
-        predict_sliding_window, predict_sliding_window_multi)
-    from lifelong_nnunet_tpu.models.unet import GenericUNet
+        predict_sliding_window_multi)
 
     backend = jax.default_backend()
-    model = GenericUNet(
-        num_classes=NUM_CLASSES,
-        pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2), (2, 2, 2)),
-        conv_kernel_sizes=((3, 3, 3),) * 4,
-        base_num_features=32, max_num_features=320,
-        dtype=jnp.bfloat16 if backend != "cpu" else jnp.float32,
-    )
+    model = _make_model(cfg["classes"], cfg["pools"],
+                        jnp.bfloat16 if backend != "cpu" else jnp.float32)
     rng = np.random.RandomState(0)
-    vols = [rng.normal(size=VOLUME + (1,)).astype(np.float32)
-            for _ in range(TIMED_VOLS)]
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + PATCH + (1,)))["params"]
+    vols = [rng.normal(size=cfg["volume"] + (1,)).astype(np.float32)
+            for _ in range(cfg["timed"])]
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1,) + cfg["patch"] + (1,)))["params"]
     params = jax.device_put(params)
     apply_fn = lambda p, x: model.apply({"params": p}, x)
 
-    # serving path: device-side argmax, bf16 upload, depth-2 dispatch pipeline
     def run(stream):
         return predict_sliding_window_multi(
-            apply_fn, params, stream, PATCH, NUM_CLASSES,
-            mirror_axes=(0, 1, 2), window_batch=8, output="seg")
+            apply_fn, params, stream, cfg["patch"], cfg["classes"],
+            mirror_axes=(0, 1, 2), window_batch=window_batch, output="seg")
 
-    run(vols[:WARMUP_VOLS])
+    run(vols[:cfg["warmup"]])
     t0 = time.perf_counter()
     segs = run(vols)
     dt = time.perf_counter() - t0
-    assert segs[0].shape == VOLUME and segs[-1].dtype == np.uint8
-    vps = TIMED_VOLS / dt
+    assert segs[0].shape == cfg["volume"] and segs[-1].dtype == np.uint8
+    vps = cfg["timed"] / dt
+    return {"metric": name, "value": round(vps, 3), "unit": "volumes/sec/chip",
+            "vs_baseline": round(vps / baseline, 3)}
 
-    print(json.dumps({
-        "metric": "sliding_window_3d_fullres_hippocampus_tta8",
-        "value": round(vps, 3),
-        "unit": "volumes/sec/chip",
-        "vs_baseline": round(vps / A100_REFERENCE_VOL_PER_S, 3),
-    }))
+
+def bench_train_mfu(batch: int = 2, iters: int = 10):
+    """One jitted train step (fwd + bwd + SGD update, DC+CE deep supervision)
+    at CT scale; reports achieved TFLOP/s and MFU.  FLOPs from XLA's own
+    cost analysis of the compiled program (falls back to an analytic conv
+    count if the backend doesn't expose it)."""
+    import jax
+    import jax.numpy as jnp
+    from lifelong_nnunet_tpu.training.optimizer import make_optimizer
+    from lifelong_nnunet_tpu.training.train_step import (
+        StepConfig, TrainState, make_train_step)
+
+    backend = jax.default_backend()
+    patch, pools, classes = CT["patch"], CT["pools"], CT["classes"]
+    model = _make_model(classes, pools,
+                        jnp.bfloat16 if backend != "cpu" else jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1,) + patch + (1,)))["params"]
+    tx = make_optimizer(max_epochs=100, iters_per_epoch=250)
+    from lifelong_nnunet_tpu.models.unet import ds_scale_factors
+    ds_factors = tuple(ds_scale_factors(((2, 2, 2),) * pools))
+    step = make_train_step(model, tx, StepConfig(
+        ds_factors=ds_factors, batch_dice=True, num_classes=classes,
+        augment=None))
+    state = TrainState.create(jax.device_put(params), tx)
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "data": jnp.asarray(rng.normal(size=(batch,) + patch + (1,)),
+                            jnp.float32),
+        "seg": jnp.asarray(rng.randint(0, classes, (batch,) + patch),
+                           jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    state, _, metrics = step(state, None, batch_np, key)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _, metrics = step(state, None, batch_np, key)
+    loss = float(metrics["loss"])  # host fetch = real sync on the axon relay
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss)
+
+    flops = None
+    try:
+        lowered = jax.jit(step).lower(state, None, batch_np, key)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if not flops:
+        flops = _analytic_train_flops(batch, patch, pools)
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_BF16.items() if k.lower() in kind.lower()),
+                197e12)
+    achieved = flops / dt
+    return {"metric": "train_step_ct128_mfu", "value": round(achieved / 1e12, 2),
+            "unit": f"TFLOP/s/chip (step {dt * 1e3:.0f} ms, {kind})",
+            "vs_baseline": round(achieved / peak, 4)}
+
+
+def _analytic_train_flops(batch: int, patch, pools: int,
+                          base: int = 32, fmax: int = 320) -> float:
+    """2 convs/stage, 3^3 kernels, fwd + ~2x bwd (standard 3x multiplier)."""
+    total = 0.0
+    vox = np.prod(patch)
+    cin, cout = 1, base
+    for s in range(pools + 1):
+        v = vox / (8 ** s)
+        total += 2 * v * (cin * cout + cout * cout) * 27 * 2  # 2 convs, MAC=2
+        cin, cout = cout, min(cout * 2, fmax)
+    total *= 2.2  # decoder ~= encoder + upconvs
+    return float(total * 3 * batch)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workload", default="hippocampus",
+                    choices=["hippocampus", "ct", "train_mfu", "all"])
+    args = ap.parse_args()
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.workload in ("ct", "all"):
+        # window_batch 2 -> TTA-expanded forward batch 16 of 128^3 (the 8
+        # mirror variants ride in the batch dim); larger batches OOM the
+        # first conv stage's activations at this scale
+        print(json.dumps(bench_sliding_window(
+            CT, "sliding_window_3d_fullres_ct128_tta8",
+            A100_REFERENCE_CT_VOL_PER_S, window_batch=2)), flush=True)
+    if args.workload in ("train_mfu", "all"):
+        print(json.dumps(bench_train_mfu()), flush=True)
+    if args.workload in ("hippocampus", "all"):
+        print(json.dumps(bench_sliding_window(
+            HIPPO, "sliding_window_3d_fullres_hippocampus_tta8",
+            A100_REFERENCE_VOL_PER_S)), flush=True)
 
 
 if __name__ == "__main__":

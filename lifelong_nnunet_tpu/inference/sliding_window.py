@@ -315,21 +315,37 @@ def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
     return padded, undo, origins, wb, gaussian, grid_shape
 
 
+# Above this, the overlap-add window buffer (plus its parity-group reshape
+# temporaries, ~4x the buffer) would pressure HBM; at such scales each window
+# forward costs hundreds of GFLOPs, so the scatter's serialization is
+# negligible and the scatter core wins on memory (measured: CT 128^3 OA
+# compile OOMs at 26 GB; scatter fits).
+_OA_BUFFER_CAP_BYTES = 1_500_000_000
+
+
 def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
               mirror_axes, output, use_gaussian=True):
     """Dispatch one padded device volume to the overlap-add core (regular
-    grid) or the scatter fallback."""
+    grid, small enough window buffer) or the scatter fallback."""
     _, _, origins, wb, gaussian, grid_shape = prep
     if grid_shape is not None:
-        if output == "seg":
-            w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
-        else:
-            w_inv = jnp.asarray(_weight_inv(tuple(dev.shape[:-1]), patch_size,
-                                            grid_shape, use_gaussian))
-        return _sliding_window_oa_jit(params, dev, w_inv, jnp.asarray(gaussian),
-                                      apply_fn, num_classes, wb, patch_size,
-                                      grid_shape, tuple(mirror_axes), output)
-    origins, valid = origins
+        n_windows = int(np.prod(grid_shape))
+        buf_bytes = (n_windows * int(np.prod(patch_size)) * num_classes
+                     * (2 if output == "seg" else 4))
+        if buf_bytes <= _OA_BUFFER_CAP_BYTES:
+            if output == "seg":
+                w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
+            else:
+                w_inv = jnp.asarray(_weight_inv(tuple(dev.shape[:-1]), patch_size,
+                                                grid_shape, use_gaussian))
+            return _sliding_window_oa_jit(params, dev, w_inv, jnp.asarray(gaussian),
+                                          apply_fn, num_classes, wb, patch_size,
+                                          grid_shape, tuple(mirror_axes), output)
+        # huge regular grid: use the scatter core with the regular origins
+        origins, wb, valid = _cached_grid(tuple(dev.shape[:-1]), patch_size,
+                                          0.5, wb)
+    else:
+        origins, valid = origins
     return _sliding_window_jit(params, dev, jnp.asarray(origins),
                                jnp.asarray(valid), jnp.asarray(gaussian),
                                apply_fn, num_classes, wb, patch_size,

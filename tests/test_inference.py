@@ -114,6 +114,22 @@ def test_overlap_add_matches_scatter_fallback():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=2e-5)
 
 
+def test_oa_buffer_cap_falls_back_to_scatter(monkeypatch):
+    """CT-scale grids whose overlap-add window buffer would blow HBM must
+    dispatch to the scatter core (same result; measured 26 GB OA OOM at
+    128^3 x 196 windows)."""
+    import lifelong_nnunet_tpu.inference.sliding_window as sw
+    params = {"w": jnp.asarray(2.0)}
+    rng = np.random.RandomState(3)
+    data = rng.rand(24, 20, 18, 1).astype(np.float32)
+    ref = predict_sliding_window(_const_apply, params, data, (16, 16, 16), 2,
+                                 mirror_axes=(0,), window_batch=3)
+    monkeypatch.setattr(sw, "_OA_BUFFER_CAP_BYTES", 1)
+    capped = predict_sliding_window(_const_apply, params, data, (16, 16, 16), 2,
+                                    mirror_axes=(0,), window_batch=3)
+    np.testing.assert_allclose(capped, ref, atol=2e-5)
+
+
 def test_restore_softmax():
     probs = np.zeros((6, 6, 6, 2), np.float32)
     probs[..., 1] = 0.8
