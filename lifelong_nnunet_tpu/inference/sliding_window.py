@@ -128,14 +128,48 @@ def bucket_shape(shape, patch_size, step_fraction: float = 0.5):
     return tuple(out)
 
 
+# TTA-expanded batch elements (B * flip-combos * patch voxels) above which
+# the flip variants run as sequential forwards instead of one big batch: at
+# CT scale (128^3, 16-deep expanded batch) the first conv stage's activations
+# are ~2 GB and pad 4x in the 128-lane tile (32 channels), which OOMs HBM
+# (measured); at small scales the single big batch is ~1.5x faster.
+_TTA_BATCH_MAX_ELEMS = 16_000_000
+
+
 def _tta_forward(apply_fn, params, x, mirror_axes):
     """x: [B, *patch, C] -> mean softmax over mirror combos [B, *patch, K].
-    All flip variants are stacked into ONE forward batch (B*combos) so the
-    convs run at maximum batch instead of `combos` sequential passes."""
+    Flip variants are stacked into ONE forward batch (B*combos) so the convs
+    run at maximum batch — unless the expanded batch would blow HBM (see
+    _TTA_BATCH_MAX_ELEMS), in which case variants run sequentially."""
     combos = [c for r in range(len(mirror_axes) + 1)
               for c in itertools.combinations(mirror_axes, r)]
     if len(combos) == 1:
         return jax.nn.softmax(apply_fn(params, x)[0].astype(jnp.float32), axis=-1)
+    expanded = x.shape[0] * len(combos) * int(np.prod(x.shape[1:-1]))
+    if expanded > _TTA_BATCH_MAX_ELEMS:
+        # lax.scan over the flip variants: ONE compiled forward whose buffers
+        # are reused each iteration (unrolled sequential forwards kept every
+        # variant's norm intermediates live simultaneously — measured 52 GB
+        # at CT scale).  Flips become flag-selected lax.rev so axes stay
+        # static inside the scan body.
+        mirror_axes = tuple(mirror_axes)
+        flags = np.zeros((len(combos), len(mirror_axes)), bool)
+        for i, c in enumerate(combos):
+            for a in c:
+                flags[i, mirror_axes.index(a)] = True
+        acc0 = jax.nn.softmax(apply_fn(params, x)[0].astype(jnp.float32), axis=-1)
+
+        def body(acc, f):
+            xv = x
+            for j, a in enumerate(mirror_axes):
+                xv = jnp.where(f[j], jnp.flip(xv, axis=a + 1), xv)
+            logits = apply_fn(params, xv)[0].astype(jnp.float32)
+            for j, a in enumerate(mirror_axes):
+                logits = jnp.where(f[j], jnp.flip(logits, axis=a + 1), logits)
+            return acc + jax.nn.softmax(logits, axis=-1), None
+
+        acc, _ = jax.lax.scan(body, acc0, jnp.asarray(flags[1:]))
+        return acc / len(combos)
     variants = [jnp.flip(x, axis=[a + 1 for a in c]) if c else x for c in combos]
     big = jnp.concatenate(variants, axis=0)
     logits = apply_fn(params, big)[0].astype(jnp.float32)
@@ -249,18 +283,24 @@ def _sliding_window_jit(params, data, origins, valid, gaussian, apply_fn,
     origins_b = origins.reshape(n_batches, window_batch, dim)
     valid_b = valid.reshape(n_batches, window_batch)
 
+    # accumulators are CLASS-MAJOR [K, *vol]: a channels-last [*vol, K]
+    # accumulator puts (vol[-1], K) in the tiled (sublane, lane) dims and XLA
+    # pads K up — measured 4x memory expansion (6 GB per buffer) at CT scale;
+    # class-major keeps the last two dims spatial and well-aligned.
     def body(carry, ov):
         batch_origins, batch_valid = ov
         prob_acc, w_acc = carry
         windows = jax.vmap(gather_window)(batch_origins)
         probs = forward(windows) * gaussian[None, ..., None]
+        probs = jnp.moveaxis(probs, -1, 1)          # [wb, K, *patch]
 
         def scatter_one(carry2, owv):
             pa, wa = carry2
             origin, p, v = owv
             idx = tuple(origin[a] for a in range(dim))
-            cur = jax.lax.dynamic_slice(pa, idx + (0,), patch_size + (num_classes,))
-            pa = jax.lax.dynamic_update_slice(pa, cur + p * v, idx + (0,))
+            cur = jax.lax.dynamic_slice(pa, (0,) + idx,
+                                        (num_classes,) + patch_size)
+            pa = jax.lax.dynamic_update_slice(pa, cur + p * v, (0,) + idx)
             curw = jax.lax.dynamic_slice(wa, idx, patch_size)
             wa = jax.lax.dynamic_update_slice(wa, curw + gaussian * v, idx)
             return (pa, wa), None
@@ -269,14 +309,14 @@ def _sliding_window_jit(params, data, origins, valid, gaussian, apply_fn,
                                             (batch_origins, probs, batch_valid))
         return (prob_acc, w_acc), None
 
-    prob_acc = jnp.zeros(vol_shape + (num_classes,), jnp.float32)
+    prob_acc = jnp.zeros((num_classes,) + vol_shape, jnp.float32)
     w_acc = jnp.zeros(vol_shape, jnp.float32)
     (prob_acc, w_acc), _ = jax.lax.scan(body, (prob_acc, w_acc),
                                         (origins_b, valid_b))
     if output == "seg":
         # weight normalization is positive and per-voxel -> argmax unaffected
-        return jnp.argmax(prob_acc, axis=-1).astype(jnp.uint8)
-    probs = prob_acc / w_acc[..., None]
+        return jnp.argmax(prob_acc, axis=0).astype(jnp.uint8)
+    probs = jnp.moveaxis(prob_acc, 0, -1) / w_acc[..., None]
     if output == "probs_bf16":
         return probs.astype(jnp.bfloat16)
     return probs

@@ -27,6 +27,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,13 +41,20 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         spatial_axes = tuple(range(1, x.ndim - 1))
+        # one-pass f32 statistics: the convert+square fuse INTO the reduction,
+        # so no f32 copy of the feature map is materialized (a two-pass
+        # (x-mean) formulation held 2 GB f32 temps per conv stage at CT
+        # scale); normalization arithmetic stays in the compute dtype.
         xf = x.astype(jnp.float32)
-        mean = xf.mean(axis=spatial_axes, keepdims=True)
-        var = xf.var(axis=spatial_axes, keepdims=True)
-        y = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.epsilon))
+        mean = jnp.mean(xf, axis=spatial_axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=spatial_axes, keepdims=True) \
+            - jnp.square(mean)
+        inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
-        return (y * scale + bias).astype(self.dtype)
+        dt = self.dtype
+        return ((x.astype(dt) - mean.astype(dt)) * (inv * scale).astype(dt)
+                + bias.astype(dt))
 
 
 class ConvNormAct(nn.Module):
