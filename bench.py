@@ -51,15 +51,18 @@ CT = dict(patch=(128, 128, 128), volume=(512, 512, 288), classes=3,
           pools=5, warmup=1, timed=3)
 
 
-def _make_model(classes: int, pools: int, dtype):
+def _make_model(classes: int, pools: int, dtype, inference: bool = False):
     import jax.numpy as jnp
-    from lifelong_nnunet_tpu.models.unet import GenericUNet
-    return GenericUNet(
+    from lifelong_nnunet_tpu.models.unet import GenericUNet, maybe_pallas_conv
+    model = GenericUNet(
         num_classes=classes,
         pool_op_kernel_sizes=((2, 2, 2),) * pools,
         conv_kernel_sizes=((3, 3, 3),) * (pools + 1),
         base_num_features=32, max_num_features=320,
         dtype=dtype)
+    # LNN_PALLAS_CONV=1 enables the fused Pallas conv for inference benches
+    # only (the kernel has no VJP, so the train_mfu workload keeps XLA)
+    return maybe_pallas_conv(model) if inference else model
 
 
 def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8):
@@ -70,7 +73,8 @@ def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8)
 
     backend = jax.default_backend()
     model = _make_model(cfg["classes"], cfg["pools"],
-                        jnp.bfloat16 if backend != "cpu" else jnp.float32)
+                        jnp.bfloat16 if backend != "cpu" else jnp.float32,
+                        inference=True)
     rng = np.random.RandomState(0)
     vols = [rng.normal(size=cfg["volume"] + (1,)).astype(np.float32)
             for _ in range(cfg["timed"])]

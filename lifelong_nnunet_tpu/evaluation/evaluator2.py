@@ -61,7 +61,8 @@ def run_evaluation2(checkpoint_base: str, task_raw_dirs: dict, output_folder: st
     output root (the reference's legacy tree); otherwise each task gets its
     own subfolder, matching the reference's current tree."""
     trainer = restore_trainer(checkpoint_base)
-    model, plans = trainer.model, trainer.plans
+    from ..models.unet import maybe_pallas_conv
+    model, plans = maybe_pallas_conv(trainer.model), trainer.plans
     os.makedirs(output_folder, exist_ok=True)
     all_results = {}
     for task, raw_dir in task_raw_dirs.items():

@@ -1,0 +1,210 @@
+"""Fused 3D conv (3x3x3, stride 1, SAME) + InstanceNorm + LeakyReLU — Pallas.
+
+Why this kernel exists (measured on TPU v5e, RESULTS.md round 2): nnU-Net's
+high-resolution encoder/decoder stages have 32/64 channels, and XLA's conv at
+C=32 runs at ~11 TFLOP/s (6% of peak): the MXU tile is 128 wide, so a
+channels-last conv wastes 4x in the output-channel lanes AND streams im2col
+traffic from HBM.  The 25% ceiling is physical for Cout=32, but a direct conv
+that keeps the halo in VMEM is compute-bound at that ceiling (~49 TFLOP/s)
+instead of HBM/assembly-bound.
+
+Key layout choice: the kernel runs CHANNELS-FIRST internally.  The im2col
+tile is assembled along the SUBLANE axis ([27*Cin, M] with pieces [Cin, M] at
+sublane offset t*Cin), so every assembly store is full-lane-width — a
+channels-last assembly needs lane-offset stores at C/128 width, which Mosaic
+executes 4x slower (measured: the lane-offset variant ties XLA; this one
+wins).  The dot is then [Cout, 27*Cin] @ [27*Cin, M].
+
+The kernel also emits per-channel sum/sum-of-squares partials of the f32
+accumulator, so InstanceNorm costs one cheap XLA elementwise epilogue (which
+also converts back to channels-last — a free transpose, it's bandwidth-bound
+either way).
+
+Reference counterpart: upstream nnU-Net's ConvDropoutNormNonlin
+(conv3d+InstanceNorm3d+LeakyReLU); this is its TPU speed-of-light form.
+
+Supported: kernel 3x3x3, stride 1, Cin/Cout <= 64, spatial dims with a
+usable (dT, hT) tiling.  ``supported()`` reports eligibility; callers fall
+back to the XLA composition otherwise (see models/unet.ConvNormAct).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom under ~16MB/core
+
+
+def _pad(c, m):
+    return -(-c // m) * m
+
+
+def _pick_tiles(D: int, H: int, W: int, cin: int, cout: int):
+    """(dT, hT) with D%dT==0, H%hT==0 whose working set fits VMEM."""
+    def vmem_bytes(dT, hT):
+        M = dT * hT * W
+        x_blk = cin * (dT + 2) * _pad(hT + 2, 8) * _pad(W + 2, 128) * 2
+        col = _pad(27 * cin, 16) * _pad(M, 128) * 2
+        acc = _pad(cout, 8) * _pad(M, 128) * 4
+        out = _pad(cout, 16) * _pad(M, 128) * 2
+        return 2 * x_blk + col + acc + out  # x double-buffered
+
+    # hT must be a multiple of 8: the halo DMA's H start is j*hT and the
+    # tiled HBM layout requires 8-aligned starts/extents on that dim
+    for dT, hT in ((4, 8), (2, 8), (1, 8), (2, 16), (1, 16)):
+        if D % dT == 0 and H % hT == 0 and vmem_bytes(dT, hT) < _VMEM_BUDGET:
+            return dT, hT
+    return None
+
+
+def supported(shape, kernel, strides) -> bool:
+    """shape: channels-LAST [B, D, H, W, C] as the model sees it."""
+    if tuple(kernel) != (3, 3, 3) or tuple(strides) != (1, 1, 1):
+        return False
+    if len(shape) != 5:
+        return False
+    _, D, H, W, C = shape
+    if C > 64 or W % 128:
+        return False
+    return _pick_tiles(D, H, W, C, C) is not None
+
+
+def _conv_kernel(x_hbm, w_ref, y_ref, p_ref, slab_ref, col_ref, sem, *,
+                 dT, hT, W, cin, cout, nD, nH, out_dtype):
+    """One (b, d-tile, h-tile) grid cell, channels-first.
+
+    The halo window is DMA'd manually from HBM (Element-indexed blocks would
+    need the last two block dims tile-aligned, which a +2 halo never is).
+
+    x_hbm:    [B, cin, D+2, H', W'] in HBM/ANY (H'/W' over-padded, see caller)
+    w_ref:    [cout, 27*cin] (VMEM)
+    slab_ref: [cin, dT+2, hslab, W'] VMEM scratch (halo window)
+    col_ref:  [27*cin, dT*hT, W] VMEM scratch (3D: a full [*, M] flatten is a
+              relayout Mosaic executes ~2x slower — measured)
+    y_ref:    [1, cout, dT, hT, W]
+    p_ref:    [1, 1, 1, 2, cout] per-tile IN partials
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    hslab = slab_ref.shape[2]
+    # NOTE: a double-buffered variant (prefetch next window while dotting the
+    # current one) would hide ~1.7us/tile of DMA, but every formulation hit a
+    # Mosaic layout-inference assert (layout.h:320) on this jax version —
+    # single-buffered is the reliable form; revisit on a newer toolchain.
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(i * dT, dT + 2), pl.ds(j * hT, hslab), :],
+        slab_ref, sem)
+    dma.start()
+    dma.wait()
+
+    for t, (dz, dy, dx) in enumerate((a, bb, c) for a in range(3)
+                                     for bb in range(3) for c in range(3)):
+        piece = slab_ref[:, dz:dz + dT, dy:dy + hT, dx:dx + W]
+        col_ref[t * cin:(t + 1) * cin] = piece.reshape(cin, dT * hT, W)
+    acc = jax.lax.dot_general(
+        w_ref[:, :], col_ref[:, :, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [cout, dT*hT, W]
+    y_ref[0] = acc.reshape(cout, dT, hT, W).astype(out_dtype)
+    # keep the reductions 2D: 1D vector writes trip Mosaic's layout
+    # inference (layout.h assert) on this toolchain
+    s = jnp.sum(acc, axis=2)                             # [cout, dT*hT]
+    p_ref[0, 0, 0] = jnp.concatenate(
+        [jnp.sum(s, axis=1, keepdims=True),
+         jnp.sum(jnp.square(acc), axis=(2,)).sum(axis=1, keepdims=True)],
+        axis=1).T                                        # [2, cout]
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def conv3d_direct_cf(xcf, w, out_dtype=jnp.bfloat16):
+    """Channels-first direct conv: xcf [B, Cin, D, H, W], w [3,3,3,Cin,Cout].
+    Returns (y [B, Cout, D, H, W] out_dtype, partials [B,nD,nH,2,Cout] f32:
+    per-tile sums and sums-of-squares of the f32 conv result)."""
+    B, cin, D, H, W = xcf.shape
+    cout = w.shape[-1]
+    tiles = _pick_tiles(D, H, W, cin, cout)
+    assert tiles is not None, "unsupported shape — check supported() first"
+    dT, hT = tiles
+    nD, nH = D // dT, H // hT
+    # DMA windows must respect the (8,128) tiling of the HBM memref: the
+    # H window is rounded to 8 rows and the minor (W) extent to 128 lanes
+    hslab = _pad(hT + 2, 8)
+    wslab = _pad(W + 2, 128)
+    xp = jnp.pad(xcf, ((0, 0), (0, 0), (1, 1), (1, hslab - hT - 1),
+                       (1, wslab - W - 1)))
+    # rows ordered (tap, cin) to match the col assembly above
+    w_mat = w.astype(xcf.dtype).reshape(27 * cin, cout).T
+
+    kern = functools.partial(_conv_kernel, dT=dT, hT=hT, W=W, cin=cin,
+                             cout=cout, nD=nD, nH=nH, out_dtype=out_dtype)
+    flops = 2 * B * D * H * W * cin * cout * 27
+    y, partials = pl.pallas_call(
+        kern,
+        grid=(B, nD, nH),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((cout, 27 * cin), lambda b, i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cout, dT, hT, W), lambda b, i, j: (b, 0, i, j, 0)),
+            pl.BlockSpec((1, 1, 1, 2, cout), lambda b, i, j: (b, i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, cout, D, H, W), out_dtype),
+            jax.ShapeDtypeStruct((B, nD, nH, 2, cout), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cin, dT + 2, hslab, wslab), xcf.dtype),
+            pltpu.VMEM((27 * cin, dT * hT, W), xcf.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=xcf.size * xcf.dtype.itemsize * 2,
+            transcendentals=0),
+    )(xp, w_mat)
+    return y, partials
+
+
+def conv3d_direct(x, w, out_dtype=jnp.bfloat16):
+    """Channels-last wrapper: x [B, D, H, W, Cin] -> (y [B,D,H,W,Cout],
+    partials). The two HBM transposes are the price for full-width VMEM
+    assembly; prefer conv3d_in_lrelu which folds the output transpose into
+    the normalization epilogue."""
+    ycf, partials = conv3d_direct_cf(jnp.moveaxis(x, -1, 1), w,
+                                     out_dtype=out_dtype)
+    return jnp.moveaxis(ycf, 1, -1), partials
+
+
+def conv3d_in_lrelu(x, w, scale, offset, negative_slope: float = 0.01,
+                    epsilon: float = 1e-5, out_dtype=None):
+    """Fused ConvNormAct: conv3d(3^3, SAME) -> InstanceNorm -> LeakyReLU.
+
+    Drop-in for the XLA composition in ``models/unet.ConvNormAct`` (conv bias
+    is mathematically absorbed by the IN mean subtraction, so none is taken).
+    x is channels-last [B, D, H, W, Cin]; result is channels-last.
+    """
+    out_dtype = out_dtype or x.dtype
+    ycf, partials = conv3d_direct_cf(jnp.moveaxis(x, -1, 1), w,
+                                     out_dtype=out_dtype)
+    n = float(np.prod(x.shape[1:4]))
+    s = jnp.sum(partials[:, :, :, 0, :], axis=(1, 2))      # [B, Cout]
+    ss = jnp.sum(partials[:, :, :, 1, :], axis=(1, 2))
+    mean = s / n
+    var = jnp.maximum(ss / n - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + epsilon)                      # [B, Cout] f32
+    dt = out_dtype
+    mul = (inv * scale[None, :]).astype(dt)[:, :, None, None, None]
+    sub = (mean * inv * scale[None, :] - offset[None, :]).astype(dt)[
+        :, :, None, None, None]
+    z = ycf * mul - sub
+    z = jnp.where(z >= 0, z, negative_slope * z)
+    return jnp.moveaxis(z, 1, -1)

@@ -56,7 +56,9 @@ def run_inference(argv=None):
         trainer = restore_trainer(base)
         head = args.use_head or trainer.mh.tasks[-1]
         params_per_fold.append(trainer.mh.assemble(head))
-    apply_fn = lambda p, x: trainer.model.apply({"params": p}, x)
+    from ..models.unet import maybe_pallas_conv
+    model = maybe_pallas_conv(trainer.model)
+    apply_fn = lambda p, x: model.apply({"params": p}, x)
     post = None
     if args.postprocess:
         from ..inference.postprocessing import load_postprocessing
