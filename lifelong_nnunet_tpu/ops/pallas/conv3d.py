@@ -55,7 +55,7 @@ def _pick_tiles(D: int, H: int, W: int, cin: int, cout: int):
         col = _pad(27 * cin, 16) * _pad(M, 128) * 2
         acc = _pad(cout, 8) * _pad(M, 128) * 4
         out = _pad(cout, 16) * _pad(M, 128) * 2
-        return 2 * x_blk + col + acc + out  # x double-buffered
+        return x_blk + col + acc + out  # slab is single-buffered
 
     # hT must be a multiple of 8: the halo DMA's H start is j*hT and the
     # tiled HBM layout requires 8-aligned starts/extents on that dim
