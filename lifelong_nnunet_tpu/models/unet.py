@@ -92,10 +92,12 @@ class ConvNormAct(nn.Module):
 
     ``pallas_conv=True`` routes eligible shapes (3x3x3, stride 1, C<=64,
     bf16, on TPU) through the fused Pallas kernel
-    (``ops/pallas/conv3d.conv3d_in_lrelu``, measured 1.3x faster than the
-    XLA composition at CT scale). Inference-only: the kernel has no VJP.
-    The parameter tree is identical either way (see _ConvParams/_INParams),
-    so checkpoints are flag-agnostic."""
+    (``ops/pallas/conv3d.conv3d_in_lrelu``, measured 1.35x faster than the
+    XLA composition at CT scale; differentiable — its custom VJP reuses the
+    kernel for dx). The parameter tree is identical either way (see
+    _ConvParams/_INParams), so checkpoints are flag-agnostic. NOTE: the
+    pallas path ignores the conv bias param (exact: IN absorbs it), so its
+    gradient is zero there — fine for training from scratch with IN."""
     features: int
     kernel: Sequence[int]
     stride: Sequence[int]

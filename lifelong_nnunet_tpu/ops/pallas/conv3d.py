@@ -184,15 +184,7 @@ def conv3d_direct(x, w, out_dtype=jnp.bfloat16):
     return jnp.moveaxis(ycf, 1, -1), partials
 
 
-def conv3d_in_lrelu(x, w, scale, offset, negative_slope: float = 0.01,
-                    epsilon: float = 1e-5, out_dtype=None):
-    """Fused ConvNormAct: conv3d(3^3, SAME) -> InstanceNorm -> LeakyReLU.
-
-    Drop-in for the XLA composition in ``models/unet.ConvNormAct`` (conv bias
-    is mathematically absorbed by the IN mean subtraction, so none is taken).
-    x is channels-last [B, D, H, W, Cin]; result is channels-last.
-    """
-    out_dtype = out_dtype or x.dtype
+def _fused_fwd_impl(x, w, scale, offset, negative_slope, epsilon, out_dtype):
     ycf, partials = conv3d_direct_cf(jnp.moveaxis(x, -1, 1), w,
                                      out_dtype=out_dtype)
     n = float(np.prod(x.shape[1:4]))
@@ -207,4 +199,78 @@ def conv3d_in_lrelu(x, w, scale, offset, negative_slope: float = 0.01,
         :, :, None, None, None]
     z = ycf * mul - sub
     z = jnp.where(z >= 0, z, negative_slope * z)
-    return jnp.moveaxis(z, 1, -1)
+    return jnp.moveaxis(z, 1, -1), (ycf, mean, inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused(x, w, scale, offset, negative_slope, epsilon, out_dtype):
+    return _fused_fwd_impl(x, w, scale, offset, negative_slope, epsilon,
+                           out_dtype)[0]
+
+
+def _fused_fwd(x, w, scale, offset, negative_slope, epsilon, out_dtype):
+    out, (ycf, mean, inv) = _fused_fwd_impl(x, w, scale, offset,
+                                            negative_slope, epsilon, out_dtype)
+    return out, (x, w, scale, ycf, mean, inv, out)
+
+
+def _fused_bwd(negative_slope, epsilon, out_dtype, res, g):
+    """Analytic backward: LeakyReLU mask -> InstanceNorm backward (per
+    batch,channel stats) -> dx via the SAME Pallas kernel with the flipped
+    kernel (a 3^3 stride-1 conv again), dw via XLA's conv weight-grad."""
+    x, w, scale, ycf, mean, inv = res[0], res[1], res[2], res[3], res[4], res[5]
+    out = res[6]
+    n = float(np.prod(x.shape[1:4]))
+    gcf = jnp.moveaxis(g, -1, 1).astype(jnp.float32)
+    outcf = jnp.moveaxis(out, -1, 1)
+    dz = jnp.where(outcf >= 0, gcf, negative_slope * gcf)   # [B,C,D,H,W] f32
+    yhat = (ycf.astype(jnp.float32) - mean[:, :, None, None, None]) \
+        * inv[:, :, None, None, None]
+    dscale = jnp.sum(dz * yhat, axis=(2, 3, 4))             # [B, C] -> [C]
+    doffset = jnp.sum(dz, axis=(2, 3, 4))
+    m_dz = jnp.mean(dz, axis=(2, 3, 4), keepdims=True)
+    m_dzy = jnp.mean(dz * yhat, axis=(2, 3, 4), keepdims=True)
+    gi = (scale[None, :] * inv)[:, :, None, None, None]
+    dy = (gi * (dz - m_dz - yhat * m_dzy)).astype(x.dtype)  # [B,C,D,H,W]
+
+    # dx = conv(dy, flip(w) with cin/cout swapped) — same fused kernel shape
+    w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(-1, -2)
+    dy_cl = jnp.moveaxis(dy, 1, -1)
+    if supported(dy_cl.shape, (3, 3, 3), (1, 1, 1)):
+        dxcf, _ = conv3d_direct_cf(dy, w_flip, out_dtype=x.dtype)
+        dx = jnp.moveaxis(dxcf, 1, -1)
+    else:
+        dx = jax.lax.conv_general_dilated(
+            dy_cl, w_flip, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=x.dtype)
+
+    # dw via XLA's conv weight-grad (its dW lowering is efficient: the
+    # contraction is over the huge spatial dim, not the 32-lane channels);
+    # all-f32 so the transpose rule sees uniform dtypes
+    xf = x.astype(jnp.float32)
+    _, pullback = jax.vjp(
+        lambda ww: jax.lax.conv_general_dilated(
+            xf, ww, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")),
+        w.astype(jnp.float32))
+    (dw,) = pullback(jnp.moveaxis(dy, 1, -1).astype(jnp.float32))
+    return dx, dw.astype(w.dtype), jnp.sum(dscale, axis=0), \
+        jnp.sum(doffset, axis=0)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def conv3d_in_lrelu(x, w, scale, offset, negative_slope: float = 0.01,
+                    epsilon: float = 1e-5, out_dtype=None):
+    """Fused ConvNormAct: conv3d(3^3, SAME) -> InstanceNorm -> LeakyReLU.
+
+    Drop-in for the XLA composition in ``models/unet.ConvNormAct`` (conv bias
+    is mathematically absorbed by the IN mean subtraction, so none is taken).
+    x is channels-last [B, D, H, W, Cin]; result is channels-last.
+    Differentiable: a custom VJP runs dx through the same Pallas kernel
+    (flipped weights) and dw through XLA's weight-grad lowering.
+    """
+    return _fused(x, w, scale, offset, negative_slope, epsilon,
+                  out_dtype or x.dtype)

@@ -76,6 +76,10 @@ class TrainerOptions:
     # ICI).  Replaces the reference's manual 2-GPU split_gpu placement of the
     # ViT (generic_ViT_UNet.py:239-257) and frees HBM for ViT-large/huge.
     model_parallel: int = 1
+    # route eligible low-channel conv stages (3^3, stride 1, C<=64, bf16,
+    # TPU, width % 128 == 0) through the fused Pallas conv+IN+LReLU kernel —
+    # measured 1.35x on CT-scale forwards (RESULTS.md round 2)
+    pallas_conv: bool = False
     # write a jax.profiler trace of the first training epoch to this dir
     # (SURVEY.md §5: the reference has no profiler; we make one first-class)
     profile_dir: str | None = None
@@ -126,6 +130,10 @@ class MultiHeadTrainer:
             self.model = unet_from_plans(plans, config_name, dtype=dtype)
         if self.opts.remat:
             self.model = self.model.clone(remat=True)
+        if self.opts.pallas_conv and hasattr(self.model, "pallas_conv"):
+            # fused Pallas conv+IN+LReLU for eligible low-channel stages
+            # (custom VJP reuses the kernel for dx) — ops/pallas/conv3d.py
+            self.model = self.model.clone(pallas_conv=True)
         if self.opts.base_num_features or self.opts.max_num_features:
             self.model = self.model.clone(
                 base_num_features=self.opts.base_num_features or self.model.base_num_features,

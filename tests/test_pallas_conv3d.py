@@ -98,3 +98,27 @@ def test_maybe_pallas_conv_env(monkeypatch):
     assert maybe_pallas_conv(m).pallas_conv is False
     monkeypatch.setenv("LNN_PALLAS_CONV", "1")
     assert maybe_pallas_conv(m).pallas_conv is True
+
+
+def test_fused_vjp_matches_xla_grads(interpret_pallas):
+    """The custom VJP (LeakyReLU mask -> IN backward -> dx via the flipped
+    kernel, dw via XLA) must match autodiff through the XLA composition."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 4, 8, 128, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 8, 8) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.rand(8) + 0.5, jnp.float32)
+    off = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.randn(1, 4, 8, 128, 8), jnp.float32)
+
+    def loss_pallas(x, w, s, o):
+        return jnp.mean((c3.conv3d_in_lrelu(x, w, s, o,
+                                            out_dtype=jnp.float32) - tgt) ** 2)
+
+    def loss_xla(x, w, s, o):
+        return jnp.mean((_xla_ref(x, w, s, o) - tgt) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, w, scale, off)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, w, scale, off)
+    for a, b, name in zip(gp, gx, ("dx", "dw", "dscale", "doffset")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3, err_msg=name)
