@@ -260,33 +260,32 @@ def _sliding_window_oa_jit(params, data, w_inv, gaussian, apply_fn, num_classes,
     return probs_out
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
-                                   "patch_size", "mirror_axes", "output"))
-def _sliding_window_jit(params, data, origins, valid, gaussian, apply_fn,
-                        num_classes, window_batch, patch_size, mirror_axes,
-                        output="probs"):
-    """Irregular-grid fallback (odd patch dims or step_fraction != 0.5).
-    data: [*vol, C]; origins: [Wpad, dim] int32, padded to a multiple of
-    window_batch; valid: [Wpad] float {0,1} masking the padding repeats out
-    of both accumulators."""
+# bound the device work of ONE dispatch: a single XLA program running for
+# minutes crashes the axon TPU worker (measured at the full 512x512x288 CT
+# grid, ~2.5 min/volume); chunking also keeps the host responsive. The cap
+# is in window-voxels (windows x patch voxels) per dispatch.
+_MAX_WINDOW_VOXELS_PER_DISPATCH = 32 * 128 ** 3
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "num_classes", "patch_size",
+                                   "mirror_axes"),
+         donate_argnums=(0, 1))
+def _sw_scatter_step(prob_acc, w_acc, params, data, origins_b, valid_b,
+                     gaussian, apply_fn, num_classes, patch_size,
+                     mirror_axes):
+    """One bounded chunk of the scatter core: forward + gaussian-weighted
+    scatter-accumulate of ``origins_b`` [nb, wb, dim] into the device-resident
+    accumulators (donated: updated in place across dispatches)."""
     dim = len(patch_size)
-    vol_shape = data.shape[:-1]
 
     def forward(x):
         return _tta_forward(apply_fn, params, x, mirror_axes)
 
     def gather_window(origin):
-        return jax.lax.dynamic_slice(data, tuple(origin[a] for a in range(dim)) + (0,),
-                                     patch_size + (data.shape[-1],))
+        return jax.lax.dynamic_slice(
+            data, tuple(origin[a] for a in range(dim)) + (0,),
+            patch_size + (data.shape[-1],))
 
-    n_batches = origins.shape[0] // window_batch
-    origins_b = origins.reshape(n_batches, window_batch, dim)
-    valid_b = valid.reshape(n_batches, window_batch)
-
-    # accumulators are CLASS-MAJOR [K, *vol]: a channels-last [*vol, K]
-    # accumulator puts (vol[-1], K) in the tiled (sublane, lane) dims and XLA
-    # pads K up — measured 4x memory expansion (6 GB per buffer) at CT scale;
-    # class-major keeps the last two dims spatial and well-aligned.
     def body(carry, ov):
         batch_origins, batch_valid = ov
         prob_acc, w_acc = carry
@@ -309,10 +308,13 @@ def _sliding_window_jit(params, data, origins, valid, gaussian, apply_fn,
                                             (batch_origins, probs, batch_valid))
         return (prob_acc, w_acc), None
 
-    prob_acc = jnp.zeros((num_classes,) + vol_shape, jnp.float32)
-    w_acc = jnp.zeros(vol_shape, jnp.float32)
     (prob_acc, w_acc), _ = jax.lax.scan(body, (prob_acc, w_acc),
                                         (origins_b, valid_b))
+    return prob_acc, w_acc
+
+
+@partial(jax.jit, static_argnames=("output",))
+def _sw_scatter_finalize(prob_acc, w_acc, output="probs"):
     if output == "seg":
         # weight normalization is positive and per-voxel -> argmax unaffected
         return jnp.argmax(prob_acc, axis=0).astype(jnp.uint8)
@@ -320,6 +322,50 @@ def _sliding_window_jit(params, data, origins, valid, gaussian, apply_fn,
     if output == "probs_bf16":
         return probs.astype(jnp.bfloat16)
     return probs
+
+
+def _sliding_window_jit(params, data, origins, valid, gaussian, apply_fn,
+                        num_classes, window_batch, patch_size, mirror_axes,
+                        output="probs"):
+    """Scatter core, used for irregular grids (odd patch dims or
+    step_fraction != 0.5) and for regular grids too big for the overlap-add
+    buffer.  data: [*vol, C]; origins: [Wpad, dim] int32, padded to a
+    multiple of window_batch; valid: [Wpad] float {0,1} masking the padding
+    repeats out of both accumulators.
+
+    Accumulators are CLASS-MAJOR [K, *vol] (a channels-last accumulator pads
+    K up to the 128-lane tile — measured 4x memory expansion at CT scale).
+    The window stream is split across several bounded dispatches (see
+    _MAX_WINDOW_VOXELS_PER_DISPATCH) with the accumulators donated between
+    them; under an outer trace (shard_map serving) the chunk loop simply
+    unrolls into one program, preserving semantics."""
+    dim = len(patch_size)
+    vol_shape = data.shape[:-1]
+    n_batches = origins.shape[0] // window_batch
+    origins_b = jnp.asarray(origins).reshape(n_batches, window_batch, dim)
+    valid_b = jnp.asarray(valid).reshape(n_batches, window_batch)
+
+    per = max(1, _MAX_WINDOW_VOXELS_PER_DISPATCH
+              // (int(np.prod(patch_size)) * window_batch))
+    prob_acc = jnp.zeros((num_classes,) + tuple(vol_shape), jnp.float32)
+    w_acc = jnp.zeros(tuple(vol_shape), jnp.float32)
+    for start in range(0, n_batches, per):
+        chunk_o = origins_b[start:start + per]
+        chunk_v = valid_b[start:start + per]
+        if chunk_o.shape[0] < per and start > 0:
+            # keep one compiled shape across the stream: pad the tail chunk
+            # with masked repeats of its first batch
+            padn = per - chunk_o.shape[0]
+            chunk_o = jnp.concatenate(
+                [chunk_o, jnp.repeat(chunk_o[:1], padn, axis=0)])
+            chunk_v = jnp.concatenate(
+                [chunk_v, jnp.zeros((padn,) + chunk_v.shape[1:],
+                                    chunk_v.dtype)])
+        prob_acc, w_acc = _sw_scatter_step(
+            prob_acc, w_acc, params, data, chunk_o, chunk_v,
+            jnp.asarray(gaussian), apply_fn, num_classes, patch_size,
+            tuple(mirror_axes))
+    return _sw_scatter_finalize(prob_acc, w_acc, output)
 
 
 def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):

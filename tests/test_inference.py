@@ -267,3 +267,29 @@ def test_predict_from_folder_overlaps_preprocessing(tmp_path, monkeypatch):
     assert len(written) == 4 and all(os.path.exists(w) for w in written)
     serial = 4 * (0.15 + 0.15 + 0.05)   # 1.4s
     assert dt < serial * 0.8, f"no overlap: {dt:.2f}s vs serial {serial:.2f}s"
+
+
+def test_scatter_chunked_dispatch_equivalence(monkeypatch):
+    """The bounded-dispatch scatter driver (multiple _sw_scatter_step calls
+    with donated accumulators) must equal one big dispatch."""
+    import lifelong_nnunet_tpu.inference.sliding_window as sw
+    params = {"w": jnp.asarray(2.0)}
+    rng = np.random.RandomState(5)
+    data = rng.rand(40, 24, 18, 1).astype(np.float32)
+    ref = predict_sliding_window(_const_apply, params, data, (16, 16, 16), 2,
+                                 mirror_axes=(1,), window_batch=2)
+    calls = []
+    orig = sw._sw_scatter_step
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sw, "_OA_BUFFER_CAP_BYTES", 1)   # force scatter
+    monkeypatch.setattr(sw, "_MAX_WINDOW_VOXELS_PER_DISPATCH",
+                        2 * 16 ** 3 * 2)                 # 2 batches/dispatch
+    monkeypatch.setattr(sw, "_sw_scatter_step", counting)
+    chunked = predict_sliding_window(_const_apply, params, data, (16, 16, 16),
+                                     2, mirror_axes=(1,), window_batch=2)
+    assert len(calls) > 1, "expected multiple bounded dispatches"
+    np.testing.assert_allclose(chunked, ref, atol=2e-5)
