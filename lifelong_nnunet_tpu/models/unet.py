@@ -129,6 +129,12 @@ class ConvNormAct(nn.Module):
             return False
         if jax.devices()[0].platform != "tpu":
             return False
+        # NOTE: only the lane-aligned direct path is routed here. The packed
+        # path (ops/pallas/conv3d.pack_plan) was measured SLOWER than XLA on
+        # every non-aligned nnU-Net shape: XLA's conv folds the batch dim
+        # into the MXU, reaching 41.6 TFLOP/s at C=32 once batch >= ~64
+        # (TTA-fused inference), so lane-packing windows has nothing to win
+        # there — see RESULTS.md round 2 "lane-packing probe".
         from ..ops.pallas.conv3d import supported
         return supported(x.shape[:-1] + (max(x.shape[-1], self.features),),
                          self.kernel, self.stride) \

@@ -77,6 +77,81 @@ def supported(shape, kernel, strides) -> bool:
     return _pick_tiles(D, H, W, C, C) is not None
 
 
+def pack_plan(shape, min_util: float = 0.45):
+    """Lane-packing plan for widths that are not 128-lane multiples.
+
+    nnU-Net fullres patches are rarely lane-aligned (hippocampus W=40/56,
+    CT stage-1 W=64), and a W<128 minor dim would waste most of the MXU's
+    lanes.  Instead, k windows from the BATCH are laid side by side along the
+    lane axis with a 2-lane zero guard between them: a 3x3x3 SAME conv has
+    radius 1, so the guard makes windows mutually invisible AND supplies each
+    window's zero border — the packed conv is exact on the valid lanes, and
+    the guard/pad lanes compute garbage that unpacking slices away.  H is
+    padded to the 8-row sublane tiling the same way (SAME semantics
+    preserved; garbage rows stripped).  InstanceNorm stats are taken AFTER
+    unpacking, so they are exact per window.
+
+    shape: channels-last [B, D, H, W, C] (C = max(cin, cout) for the VMEM
+    check).  Returns (k, period, L, Hp, Bp) — k windows per lane slab of L
+    lanes with stride ``period``, H padded to Hp, batch padded to Bp — or
+    None when no packing reaches ``min_util`` MXU-lane utilization."""
+    B, D, H, W, C = shape
+    if W % 128 == 0 or W < 8:
+        return None
+    period = W + 2
+    Hp = _pad(H, 8)
+    best = None
+    for k in range(1, min(B, 64) + 1):
+        L = _pad(k * period, 128)
+        if _pick_tiles(D, Hp, L, C, C) is None:
+            continue
+        Bp = _pad(B, k)
+        util = (k * W * B * H) / (L * Bp * Hp)
+        if best is None or util > best[0] + 1e-9:
+            best = (util, (k, period, L, Hp, Bp))
+    if best is None or best[0] < min_util:
+        return None
+    return best[1]
+
+
+def eligible(shape, kernel, strides) -> bool:
+    """True when either the direct (lane-aligned) or the packed path can run
+    this channels-last shape."""
+    if supported(shape, kernel, strides):
+        return True
+    if tuple(kernel) != (3, 3, 3) or tuple(strides) != (1, 1, 1) \
+            or len(shape) != 5 or shape[-1] > 64:
+        return False
+    return pack_plan(shape) is not None
+
+
+def _pack_cl_to_cf(x, plan):
+    """channels-last [B, D, H, W, C] -> packed channels-first
+    [Bp/k, C, D, Hp, L] (zero guards between windows, zero row/lane pad)."""
+    k, period, L, Hp, Bp = plan
+    B, D, H, W, C = x.shape
+    x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, Hp - H), (0, period - W),
+                    (0, 0)))
+    x = x.reshape(Bp // k, k, D, Hp, period, C)
+    x = jnp.moveaxis(x, 1, 3)                    # [B', D, Hp, k, period, C]
+    x = x.reshape(Bp // k, D, Hp, k * period, C)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, L - k * period), (0, 0)))
+    return jnp.moveaxis(x, -1, 1)
+
+
+def _unpack_cf(y, plan, out_spatial):
+    """packed channels-first [B', C, D, Hp, L] -> [B, C, D, H, W] with all
+    guard lanes / padded rows / padded batch windows stripped."""
+    k, period, L, Hp, Bp = plan
+    B, (D, H, W) = out_spatial
+    C = y.shape[1]
+    y = y[..., :k * period]
+    y = y.reshape(Bp // k, C, D, Hp, k, period)
+    y = jnp.moveaxis(y, 4, 1)                    # [B', k, C, D, Hp, period]
+    y = y.reshape(Bp, C, D, Hp, period)
+    return y[:B, :, :, :H, :W]
+
+
 def _conv_kernel(x_hbm, w_ref, y_ref, p_ref, slab_ref, col_ref, sem, *,
                  dT, hT, W, cin, cout, nD, nH, out_dtype):
     """One (b, d-tile, h-tile) grid cell, channels-first.
@@ -184,37 +259,53 @@ def conv3d_direct(x, w, out_dtype=jnp.bfloat16):
     return jnp.moveaxis(ycf, 1, -1), partials
 
 
-def _fused_fwd_impl(x, w, scale, offset, negative_slope, epsilon, out_dtype):
-    ycf, partials = conv3d_direct_cf(jnp.moveaxis(x, -1, 1), w,
-                                     out_dtype=out_dtype)
-    n = float(np.prod(x.shape[1:4]))
-    s = jnp.sum(partials[:, :, :, 0, :], axis=(1, 2))      # [B, Cout]
-    ss = jnp.sum(partials[:, :, :, 1, :], axis=(1, 2))
-    mean = s / n
-    var = jnp.maximum(ss / n - jnp.square(mean), 0.0)
-    inv = jax.lax.rsqrt(var + epsilon)                      # [B, Cout] f32
-    dt = out_dtype
+def _in_lrelu_epilogue(ycf, mean, inv, scale, offset, negative_slope, dt):
     mul = (inv * scale[None, :]).astype(dt)[:, :, None, None, None]
     sub = (mean * inv * scale[None, :] - offset[None, :]).astype(dt)[
         :, :, None, None, None]
     z = ycf * mul - sub
     z = jnp.where(z >= 0, z, negative_slope * z)
-    return jnp.moveaxis(z, 1, -1), (ycf, mean, inv)
+    return jnp.moveaxis(z, 1, -1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _fused(x, w, scale, offset, negative_slope, epsilon, out_dtype):
+def _fused_fwd_impl(x, w, scale, offset, negative_slope, epsilon, out_dtype,
+                    plan):
+    n = float(np.prod(x.shape[1:4]))
+    if plan is None:
+        ycf, partials = conv3d_direct_cf(jnp.moveaxis(x, -1, 1), w,
+                                         out_dtype=out_dtype)
+        s = jnp.sum(partials[:, :, :, 0, :], axis=(1, 2))   # [B, Cout]
+        ss = jnp.sum(partials[:, :, :, 1, :], axis=(1, 2))
+    else:
+        # packed path: stats AFTER unpacking (exact; the guard lanes never
+        # enter).  The extra read of y this costs is noise next to the conv.
+        ycf_p, _ = conv3d_direct_cf(_pack_cl_to_cf(x, plan), w,
+                                    out_dtype=out_dtype)
+        ycf = _unpack_cf(ycf_p, plan, (x.shape[0], x.shape[1:4]))
+        yf = ycf.astype(jnp.float32)
+        s = jnp.sum(yf, axis=(2, 3, 4))
+        ss = jnp.sum(jnp.square(yf), axis=(2, 3, 4))
+    mean = s / n
+    var = jnp.maximum(ss / n - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + epsilon)                      # [B, Cout] f32
+    out = _in_lrelu_epilogue(ycf, mean, inv, scale, offset, negative_slope,
+                             out_dtype)
+    return out, (ycf, mean, inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused(x, w, scale, offset, negative_slope, epsilon, out_dtype, plan):
     return _fused_fwd_impl(x, w, scale, offset, negative_slope, epsilon,
-                           out_dtype)[0]
+                           out_dtype, plan)[0]
 
 
-def _fused_fwd(x, w, scale, offset, negative_slope, epsilon, out_dtype):
-    out, (ycf, mean, inv) = _fused_fwd_impl(x, w, scale, offset,
-                                            negative_slope, epsilon, out_dtype)
+def _fused_fwd(x, w, scale, offset, negative_slope, epsilon, out_dtype, plan):
+    out, (ycf, mean, inv) = _fused_fwd_impl(
+        x, w, scale, offset, negative_slope, epsilon, out_dtype, plan)
     return out, (x, w, scale, ycf, mean, inv, out)
 
 
-def _fused_bwd(negative_slope, epsilon, out_dtype, res, g):
+def _fused_bwd(negative_slope, epsilon, out_dtype, plan, res, g):
     """Analytic backward: LeakyReLU mask -> InstanceNorm backward (per
     batch,channel stats) -> dx via the SAME Pallas kernel with the flipped
     kernel (a 3^3 stride-1 conv again), dw via XLA's conv weight-grad."""
@@ -236,7 +327,12 @@ def _fused_bwd(negative_slope, epsilon, out_dtype, res, g):
     # dx = conv(dy, flip(w) with cin/cout swapped) — same fused kernel shape
     w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(-1, -2)
     dy_cl = jnp.moveaxis(dy, 1, -1)
-    if supported(dy_cl.shape, (3, 3, 3), (1, 1, 1)):
+    if plan is not None:
+        dxcf_p, _ = conv3d_direct_cf(_pack_cl_to_cf(dy_cl, plan), w_flip,
+                                     out_dtype=x.dtype)
+        dx = jnp.moveaxis(
+            _unpack_cf(dxcf_p, plan, (x.shape[0], x.shape[1:4])), 1, -1)
+    elif supported(dy_cl.shape, (3, 3, 3), (1, 1, 1)):
         dxcf, _ = conv3d_direct_cf(dy, w_flip, out_dtype=x.dtype)
         dx = jnp.moveaxis(dxcf, 1, -1)
     else:
@@ -271,6 +367,14 @@ def conv3d_in_lrelu(x, w, scale, offset, negative_slope: float = 0.01,
     x is channels-last [B, D, H, W, Cin]; result is channels-last.
     Differentiable: a custom VJP runs dx through the same Pallas kernel
     (flipped weights) and dw through XLA's weight-grad lowering.
+
+    Widths that are not 128-lane multiples route through the lane-packing
+    plan (see ``pack_plan``); check ``eligible()`` before calling.
     """
+    B, D, H, W, cin = x.shape
+    plan = None
+    if W % 128:
+        plan = pack_plan((B, D, H, W, max(cin, w.shape[-1])))
+        assert plan is not None, "unsupported shape — check eligible() first"
     return _fused(x, w, scale, offset, negative_slope, epsilon,
-                  out_dtype or x.dtype)
+                  out_dtype or x.dtype, plan)

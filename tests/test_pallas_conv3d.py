@@ -100,6 +100,58 @@ def test_maybe_pallas_conv_env(monkeypatch):
     assert maybe_pallas_conv(m).pallas_conv is True
 
 
+def test_pack_plan_covers_nnunet_widths():
+    # hippocampus stage 0: W=40 packs 3 windows/128 lanes
+    plan = c3.pack_plan((9, 40, 56, 40, 32))
+    assert plan is not None
+    k, period, L, Hp, Bp = plan
+    assert period == 42 and L % 128 == 0 and Bp % k == 0 and Bp >= 9
+    # hippocampus stage 1: W=20, H=28 needs the 8-row pad
+    assert c3.pack_plan((9, 20, 28, 20, 64)) is not None
+    # CT stage 1: W=64
+    assert c3.pack_plan((2, 64, 64, 64, 64)) is not None
+    # lane-aligned widths stay on the direct path
+    assert c3.pack_plan((2, 8, 8, 128, 32)) is None
+    assert c3.eligible((9, 40, 56, 40, 32), (3, 3, 3), (1, 1, 1))
+    assert not c3.eligible((9, 40, 56, 40, 96), (3, 3, 3), (1, 1, 1))
+
+
+def test_packed_fused_matches_xla_composition(interpret_pallas):
+    """W=40 (not a lane multiple) + H=6 (not a sublane multiple) + B=5 (needs
+    batch pad): the packed path must still be exact on every window."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(5, 4, 6, 40, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 8, 16) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.rand(16) + 0.5, jnp.float32)
+    off = jnp.asarray(rng.randn(16) * 0.1, jnp.float32)
+    assert c3.pack_plan((5, 4, 6, 40, 16)) is not None
+    fused = c3.conv3d_in_lrelu(x, w, scale, off, out_dtype=jnp.float32)
+    ref = _xla_ref(x, w, scale, off)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
+
+
+def test_packed_vjp_matches_xla_grads(interpret_pallas):
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 4, 6, 40, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 8, 8) * 0.1, jnp.float32)
+    scale = jnp.asarray(rng.rand(8) + 0.5, jnp.float32)
+    off = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+    tgt = jnp.asarray(rng.randn(4, 4, 6, 40, 8), jnp.float32)
+
+    def loss_pallas(x, w, s, o):
+        return jnp.mean((c3.conv3d_in_lrelu(x, w, s, o,
+                                            out_dtype=jnp.float32) - tgt) ** 2)
+
+    def loss_xla(x, w, s, o):
+        return jnp.mean((_xla_ref(x, w, s, o) - tgt) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, w, scale, off)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(x, w, scale, off)
+    for a, b, name in zip(gp, gx, ("dx", "dw", "dscale", "doffset")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3, err_msg=name)
+
+
 def test_fused_vjp_matches_xla_grads(interpret_pallas):
     """The custom VJP (LeakyReLU mask -> IN backward -> dx via the flipped
     kernel, dw via XLA) must match autodiff through the XLA composition."""
