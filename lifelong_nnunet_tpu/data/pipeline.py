@@ -33,8 +33,8 @@ class Prefetcher:
             sh = self.sharding if isinstance(self.sharding, dict) else \
                 {"data": self.sharding, "seg": self.sharding}
             dev = {
-                "data": jax.device_put(batch["data"], sh.get("data")),
-                "seg": jax.device_put(batch["seg"], sh.get("seg")),
+                "data": self._put(batch["data"], sh.get("data")),
+                "seg": self._put(batch["seg"], sh.get("seg")),
             }
             while not self._stop.is_set():
                 try:
@@ -42,6 +42,17 @@ class Prefetcher:
                     break
                 except queue.Full:
                     continue
+
+    @staticmethod
+    def _put(arr, sharding):
+        """Single host: plain (sharded) device_put of the full batch.
+        Multi-host SPMD: each process holds only its sampler shard of the
+        global batch — assemble the global jax.Array from the process-local
+        rows (the 'data'-axis sharding maps contiguous row blocks to each
+        host's local devices, matching PatchSampler's contiguous shard)."""
+        if sharding is not None and jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
 
     def next(self):
         dev, keys = self.q.get()

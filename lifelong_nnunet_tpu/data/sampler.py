@@ -20,11 +20,21 @@ from .dataset import PreprocessedDataset
 class PatchSampler:
     def __init__(self, dataset: PreprocessedDataset | None, cases: list, patch_size,
                  batch_size: int, oversample_foreground_percent: float = 0.33,
-                 seed: int = 0):
+                 seed: int = 0, shard: tuple = (0, 1)):
         """``cases`` entries are either case-name strings (resolved against
         ``dataset``) or explicit ``(PreprocessedDataset, case)`` pairs — the
         latter lets Rehearsal-style trainers mix cases from several tasks'
-        stage directories into one pool."""
+        stage directories into one pool.
+
+        ``shard=(index, count)`` is the multi-host input split: ``batch_size``
+        stays the GLOBAL batch; this sampler emits only the contiguous
+        [index*B/count, (index+1)*B/count) slice of it, with the nnU-Net
+        forced-foreground rule evaluated at GLOBAL batch positions (the last
+        round(B*oversample) samples of the global batch are forced-fg, no
+        matter which host draws them) and the RNG stream decorrelated per
+        shard.  Every host samples from the full case list — cases are not
+        partitioned, matching upstream DataLoader3D under DDP, where each
+        worker draws independently from all cases."""
         assert len(cases) > 0, "empty case list"
         self.items = [(dataset, c) if isinstance(c, str) else tuple(c) for c in cases]
         # native C++ gather engine (csrc/patch_gather.cpp): GIL-free threaded
@@ -33,13 +43,23 @@ class PatchSampler:
         self._native = native.get_lib() is not None
         self.patch_size = tuple(int(p) for p in patch_size)
         self.dim = len(self.patch_size)
-        self.batch_size = int(batch_size)
+        self.global_batch_size = int(batch_size)
+        self.shard_index, self.shard_count = int(shard[0]), int(shard[1])
+        assert 0 <= self.shard_index < self.shard_count
+        if batch_size % self.shard_count:
+            raise ValueError(
+                f"global batch {batch_size} must divide evenly over "
+                f"{self.shard_count} input shards (hosts)")
+        self.batch_size = int(batch_size) // self.shard_count
         self.oversample = oversample_foreground_percent
-        self.rng = np.random.RandomState(seed)
+        self.rng = np.random.RandomState(seed + 7919 * self.shard_index)
 
     def _needs_fg(self, sample_idx: int) -> bool:
-        # nnU-Net rule: the LAST round(batch * oversample) samples are forced-fg
-        return sample_idx >= round(self.batch_size * (1 - self.oversample))
+        # nnU-Net rule: the LAST round(batch * oversample) samples of the
+        # GLOBAL batch are forced-fg; this host's samples sit at global
+        # positions shard_index*local_B + i
+        global_idx = self.shard_index * self.batch_size + sample_idx
+        return global_idx >= round(self.global_batch_size * (1 - self.oversample))
 
     def _extract(self, ds: PreprocessedDataset, case: str, force_fg: bool):
         arr = ds.load(case)                           # [C+1, X, Y, Z] memmap

@@ -231,9 +231,14 @@ class MultiHeadTrainer:
     def _make_sampler(self, task: str, train: bool = True, seed_offset: int = 0):
         ds, tr, val = self._datasets[task]
         cases = tr if train else val
+        # multi-host SPMD: each process samples only its contiguous slice of
+        # the global batch (the Prefetcher assembles the global jax.Array);
+        # single-host runs are shard (0, 1) == unchanged
+        shard = (jax.process_index(), jax.process_count())
         return PatchSampler(ds, cases, self.patch_size, self.batch_size,
                             oversample_foreground_percent=self.opts.oversample,
-                            seed=self.opts.seed + seed_offset + (0 if train else 1000))
+                            seed=self.opts.seed + seed_offset + (0 if train else 1000),
+                            shard=shard)
 
     # -------------------------------------------------------------- setup
     def _ensure_initialized(self, task: str):

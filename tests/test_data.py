@@ -59,6 +59,49 @@ def test_patch_sampler(stage):
         assert (batch["seg"][i] > 0).any(), f"sample {i} forced-fg has no fg"
 
 
+def test_patch_sampler_sharded(stage):
+    """Multi-host input split: each shard emits its contiguous slice of the
+    global batch; the forced-fg rule follows GLOBAL positions; RNG streams
+    decorrelate."""
+    stage_dir, plans = stage
+    ds = PreprocessedDataset(stage_dir)
+    cfg = plans.config("3d_fullres")
+    s0 = PatchSampler(ds, ds.cases, cfg.patch_size, batch_size=6, seed=5,
+                      shard=(0, 2))
+    s1 = PatchSampler(ds, ds.cases, cfg.patch_size, batch_size=6, seed=5,
+                      shard=(1, 2))
+    assert s0.batch_size == s1.batch_size == 3
+    # global rule: round(6*0.67)=4 -> global positions 4,5 forced-fg
+    assert [s0._needs_fg(i) for i in range(3)] == [False, False, False]
+    assert [s1._needs_fg(i) for i in range(3)] == [False, True, True]
+    b0, b1 = s0.next_batch(), s1.next_batch()
+    assert b0["data"].shape == (3,) + tuple(cfg.patch_size) + (1,)
+    assert b1["data"].shape == (3,) + tuple(cfg.patch_size) + (1,)
+    # forced-fg shard rows actually contain foreground
+    for i in (1, 2):
+        assert (b1["seg"][i] > 0).any()
+    # decorrelated streams: shards must not sample identical patches
+    assert not np.array_equal(b0["data"], b1["data"])
+    with pytest.raises(ValueError):
+        PatchSampler(ds, ds.cases, cfg.patch_size, batch_size=5, shard=(0, 2))
+
+
+def test_prefetcher_put_single_process():
+    """Single-process _put == device_put (the multi-host branch needs >1
+    process); with a sharding it must produce a committed sharded array."""
+    from lifelong_nnunet_tpu.data.pipeline import Prefetcher
+    arr = np.arange(24, dtype=np.float32).reshape(8, 3)
+    out = Prefetcher._put(arr, None)
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    if len(jax.devices()) >= 2:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        sh = NamedSharding(mesh, P("data", None))
+        out = Prefetcher._put(arr, sh)
+        assert out.sharding.is_equivalent_to(sh, arr.ndim)
+        np.testing.assert_array_equal(np.asarray(out), arr)
+
+
 def test_patch_sampler_pads_small_volume(stage):
     stage_dir, plans = stage
     ds = PreprocessedDataset(stage_dir)
