@@ -97,11 +97,16 @@ def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8)
             mirror_axes=(0, 1, 2), window_batch=window_batch, output="seg")
 
     run(vols[:cfg["warmup"]])
-    t0 = time.perf_counter()
-    segs = run(vols)
-    dt = time.perf_counter() - t0
-    assert segs[0].shape == cfg["volume"] and segs[-1].dtype == np.uint8
-    vps = cfg["timed"] / dt
+    # median of 3 timed passes: run-to-run variance on the shared axon relay
+    # host is up to ~40% (RESULTS.md round 2) — a single pass is a coin flip
+    rates = []
+    for _ in range(3 if cfg["timed"] >= 10 else 1):
+        t0 = time.perf_counter()
+        segs = run(vols)
+        dt = time.perf_counter() - t0
+        assert segs[0].shape == cfg["volume"] and segs[-1].dtype == np.uint8
+        rates.append(cfg["timed"] / dt)
+    vps = float(np.median(rates))
     return {"metric": name, "value": round(vps, 3), "unit": "volumes/sec/chip",
             "vs_baseline": round(vps / baseline, 3)}
 
