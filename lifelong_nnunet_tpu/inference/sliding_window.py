@@ -522,70 +522,33 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
     return [out[i][undos[i]] for i in range(len(volumes))]
 
 
-# one transfer group's host<->device bytes (each direction) are capped so CT
-# streams don't stack gigabytes in HBM; hippocampus streams fit in one group
-_GROUP_TRANSFER_CAP_BYTES = 256 * 1024 * 1024
-
-
 def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
                                  num_classes: int, mirror_axes=(0, 1, 2),
                                  step_fraction: float = 0.5, window_batch: int = 4,
                                  output: str = "seg", input_bf16: bool = True):
     """Inference over a stream of volumes sharing one compiled program.
 
-    Measured notes (TPU v5e behind the axon relay, hippocampus scale):
-      * vmapping the whole sliding-window core over a volume batch regresses
-        ~6x — the per-window dynamic_update_slice accumulation becomes a
-        batched scatter the TPU compiler serializes poorly.
-      * per-volume host<->device transfers are LATENCY-bound, not size-bound
-        (~29 ms/volume against 43 ms of compute at hippocampus scale): the
-        upload+fetch RPCs serialize with compute on the relay.  So volumes
-        are GROUPED by padded shape: one stacked upload per group, per-volume
-        dispatches against device-side slices (compute stays the measured-
-        fastest per-volume core), one stacked fetch per group.  Transfer cost
-        amortizes to ~1/G per volume.  Groups are byte-capped
-        (_GROUP_TRANSFER_CAP_BYTES) so CT-scale streams don't pool gigabytes
-        in HBM."""
+    Measured note: vmapping the whole sliding-window core over a volume batch
+    regresses ~6x — the per-window dynamic_update_slice accumulation becomes
+    a batched scatter the TPU compiler serializes poorly.  A device-queue
+    pipeline (dispatch volume k+1 before fetching volume k's result) hides
+    the host<->device latency instead."""
     patch_size = tuple(int(p) for p in patch_size)
+    pending = []  # (device result, undo slicer)
     results: list = [None] * len(volumes)
-    preps = [_prepare(v, patch_size, step_fraction, window_batch, True)
-             for v in volumes]
-    in_dt = jnp.bfloat16 if input_bf16 else np.float32
-    out_itemsize = {"seg": 1, "probs_bf16": 2}.get(output, 4)
-    out_classes = 1 if output == "seg" else num_classes
-
-    # group consecutive same-padded-shape volumes under the byte cap
-    groups: list = []  # list of list[int]
-    for i, p in enumerate(preps):
-        shape = p[0].shape
-        vol_bytes = max(int(np.prod(shape)) * 2,
-                        int(np.prod(shape[:-1])) * out_classes * out_itemsize)
-        if (groups and preps[groups[-1][0]][0].shape == shape
-                and (len(groups[-1]) + 1) * vol_bytes
-                <= _GROUP_TRANSFER_CAP_BYTES):
-            groups[-1].append(i)
-        else:
-            groups.append([i])
-
-    prev = None  # (idxs, stacked device output) — fetch overlaps next group
-    for idxs in groups:
-        stack = np.stack([preps[i][0] for i in idxs]).astype(in_dt)
-        dev_stack = jnp.asarray(stack)                       # ONE upload
-        outs = [_run_core(apply_fn, params, dev_stack[g], preps[i], patch_size,
-                          num_classes, mirror_axes, output)
-                for g, i in enumerate(idxs)]
-        cur = (idxs, jnp.stack(outs) if len(outs) > 1 else outs[0][None])
-        if prev is not None:
-            pidx, pout = prev
-            host = np.asarray(pout)                          # ONE fetch
-            for g, i in enumerate(pidx):
-                results[i] = host[g][preps[i][1]]
-        prev = cur
-    if prev is not None:
-        pidx, pout = prev
-        host = np.asarray(pout)
-        for g, i in enumerate(pidx):
-            results[i] = host[g][preps[i][1]]
+    for i, v in enumerate(volumes):
+        prep = _prepare(v, patch_size, step_fraction, window_batch, True)
+        padded, undo = prep[0], prep[1]
+        dev = jnp.asarray(padded.astype(jnp.bfloat16) if input_bf16
+                          else padded.astype(np.float32))
+        out = _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
+                        mirror_axes, output)
+        pending.append((i, out, undo))
+        if len(pending) >= 2:  # fetch the oldest while the newest computes
+            j, o, u = pending.pop(0)
+            results[j] = np.asarray(o)[u]
+    for j, o, u in pending:
+        results[j] = np.asarray(o)[u]
     if output == "probs_bf16":
         results = [r.astype(np.float32) for r in results]
     return results
