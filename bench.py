@@ -68,8 +68,10 @@ def _make_model(classes: int, pools: int, dtype, inference: bool = False):
         conv_kernel_sizes=((3, 3, 3),) * (pools + 1),
         base_num_features=32, max_num_features=320,
         dtype=dtype)
-    # LNN_PALLAS_CONV=1 enables the fused Pallas conv for inference benches
-    # only (the kernel has no VJP, so the train_mfu workload keeps XLA)
+    # LNN_PALLAS_CONV=1 enables the fused Pallas conv for the inference
+    # benches; the train_mfu workload keeps XLA so its number matches the
+    # default training configuration (opt into the kernel with --pallas_conv
+    # in real training)
     return maybe_pallas_conv(model) if inference else model
 
 
@@ -200,9 +202,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.workload in ("ct", "all"):
-        # window_batch 2 -> TTA-expanded forward batch 16 of 128^3 (the 8
-        # mirror variants ride in the batch dim); larger batches OOM the
-        # first conv stage's activations at this scale
+        # window_batch 2: at 128^3 the TTA-expanded batch (2*8 windows)
+        # exceeds _TTA_BATCH_MAX_ELEMS, so the mirror variants run as a
+        # lax.scan of batch-2 forwards (see _tta_forward); larger window
+        # batches OOM the first conv stage's activations at this scale
         print(json.dumps(bench_sliding_window(
             CT, "sliding_window_3d_fullres_ct128_tta8",
             A100_REFERENCE_CT_VOL_PER_S, window_batch=2)), flush=True)

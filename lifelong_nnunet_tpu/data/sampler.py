@@ -17,6 +17,14 @@ import numpy as np
 from .dataset import PreprocessedDataset
 
 
+def input_shard() -> tuple:
+    """(process_index, process_count): this host's slice of the multi-host
+    input split — the single source of the host→batch-slice mapping (used by
+    the base trainer and Rehearsal's mixed-pool sampler)."""
+    import jax
+    return (jax.process_index(), jax.process_count())
+
+
 class PatchSampler:
     def __init__(self, dataset: PreprocessedDataset | None, cases: list, patch_size,
                  batch_size: int, oversample_foreground_percent: float = 0.33,

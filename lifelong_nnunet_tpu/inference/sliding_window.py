@@ -390,9 +390,9 @@ def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
                            for b, p in zip(bshape, patch_size))
         origins, wb = None, max(1, min(window_batch, int(np.prod(grid_shape))))
     else:
-        # origin-list padding to a multiple of wb repeats origin 0 — the
-        # gaussian weight accumulates identically for prob and weight sums,
-        # so duplicates cancel in the normalization.
+        # origin-list padding to a multiple of wb repeats origin 0; the
+        # `valid` mask zeroes the repeats out of BOTH accumulators (they do
+        # NOT cancel in the normalization — see _cached_grid's docstring)
         origins, wb, valid = _cached_grid(tuple(padded.shape[:-1]), patch_size,
                                           step_fraction, window_batch)
         origins = (origins, valid)
@@ -408,6 +408,15 @@ def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
 # compile OOMs at 26 GB; scatter fits).
 _OA_BUFFER_CAP_BYTES = 1_500_000_000
 
+# The OA core runs the WHOLE volume (all windows x TTA variants) as one XLA
+# program; a single program running minutes of device time crashes the axon
+# TPU worker (same failure the scatter core's bounded dispatches avoid).
+# Cap the per-program device work: volumes whose TTA-expanded window-voxel
+# count exceeds this fall back to the chunked scatter core.  256M TTA-window-
+# voxels ~= 10-20 s of device time at measured conv throughputs; hippocampus
+# streams (5.7M) keep the faster OA path with a wide margin.
+_OA_MAX_TTA_WINDOW_VOXELS = 256_000_000
+
 
 def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
               mirror_axes, output, use_gaussian=True):
@@ -418,7 +427,10 @@ def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
         n_windows = int(np.prod(grid_shape))
         buf_bytes = (n_windows * int(np.prod(patch_size)) * num_classes
                      * (2 if output == "seg" else 4))
-        if buf_bytes <= _OA_BUFFER_CAP_BYTES:
+        n_combos = 2 ** len(mirror_axes)
+        tta_window_voxels = n_windows * int(np.prod(patch_size)) * n_combos
+        if (buf_bytes <= _OA_BUFFER_CAP_BYTES
+                and tta_window_voxels <= _OA_MAX_TTA_WINDOW_VOXELS):
             if output == "seg":
                 w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
             else:
@@ -463,8 +475,6 @@ def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
     out = np.asarray(out)
     if output == "probs_bf16":
         out = out.astype(np.float32)
-    if output == "seg":
-        return out[undo]
     return out[undo]
 
 

@@ -255,8 +255,10 @@ class GenericUNet(nn.Module):
 def maybe_pallas_conv(model):
     """Clone with the fused Pallas conv path enabled when LNN_PALLAS_CONV=1.
 
-    Inference call sites only (the kernel defines no VJP): run_inference,
-    evaluator2, bench. Checkpoints are flag-agnostic (identical param tree)."""
+    Convenience env toggle used by inference call sites (run_inference,
+    evaluator2, bench); training enables the same path via ``--pallas_conv``
+    (the kernel is differentiable — custom VJP, see ops/pallas/conv3d).
+    Checkpoints are flag-agnostic (identical param tree)."""
     import os
     if os.environ.get("LNN_PALLAS_CONV") == "1" and hasattr(model, "pallas_conv"):
         return model.clone(pallas_conv=True)

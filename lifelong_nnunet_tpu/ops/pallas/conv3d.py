@@ -302,21 +302,28 @@ def _fused(x, w, scale, offset, negative_slope, epsilon, out_dtype, plan):
 def _fused_fwd(x, w, scale, offset, negative_slope, epsilon, out_dtype, plan):
     out, (ycf, mean, inv) = _fused_fwd_impl(
         x, w, scale, offset, negative_slope, epsilon, out_dtype, plan)
-    return out, (x, w, scale, ycf, mean, inv, out)
+    # NOT saving `out`: the LeakyReLU sign mask is recomputed in the backward
+    # from (ycf, mean, inv, scale, offset) — a few elementwise ops instead of
+    # keeping a second full feature map alive per fused block (~134 MB/block
+    # at CT scale)
+    return out, (x, w, scale, offset, ycf, mean, inv)
 
 
 def _fused_bwd(negative_slope, epsilon, out_dtype, plan, res, g):
     """Analytic backward: LeakyReLU mask -> InstanceNorm backward (per
     batch,channel stats) -> dx via the SAME Pallas kernel with the flipped
     kernel (a 3^3 stride-1 conv again), dw via XLA's conv weight-grad."""
-    x, w, scale, ycf, mean, inv = res[0], res[1], res[2], res[3], res[4], res[5]
-    out = res[6]
+    x, w, scale, offset, ycf, mean, inv = res
     n = float(np.prod(x.shape[1:4]))
     gcf = jnp.moveaxis(g, -1, 1).astype(jnp.float32)
-    outcf = jnp.moveaxis(out, -1, 1)
-    dz = jnp.where(outcf >= 0, gcf, negative_slope * gcf)   # [B,C,D,H,W] f32
     yhat = (ycf.astype(jnp.float32) - mean[:, :, None, None, None]) \
         * inv[:, :, None, None, None]
+    # recomputed pre-activation (f32); sign can differ from the emitted
+    # out_dtype-rounded value only within rounding distance of 0, where the
+    # two LeakyReLU branches coincide to first order
+    z = yhat * scale[None, :, None, None, None] \
+        + offset[None, :, None, None, None]
+    dz = jnp.where(z >= 0, gcf, negative_slope * gcf)       # [B,C,D,H,W] f32
     dscale = jnp.sum(dz * yhat, axis=(2, 3, 4))             # [B, C] -> [C]
     doffset = jnp.sum(dz, axis=(2, 3, 4))
     m_dz = jnp.mean(dz, axis=(2, 3, 4), keepdims=True)
@@ -369,12 +376,31 @@ def conv3d_in_lrelu(x, w, scale, offset, negative_slope: float = 0.01,
     (flipped weights) and dw through XLA's weight-grad lowering.
 
     Widths that are not 128-lane multiples route through the lane-packing
-    plan (see ``pack_plan``); check ``eligible()`` before calling.
+    plan (see ``pack_plan``).  When neither the direct nor a packed tiling
+    exists for the shape (``eligible()`` checks with C = max(cin, cout) —
+    use the same convention), this falls back to the plain XLA composition
+    rather than crashing, so an ``eligible()`` check against a smaller C
+    can never strand the caller.
     """
     B, D, H, W, cin = x.shape
     plan = None
     if W % 128:
         plan = pack_plan((B, D, H, W, max(cin, w.shape[-1])))
-        assert plan is not None, "unsupported shape — check eligible() first"
+        if plan is None:
+            y = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            yf = y.astype(jnp.float32)
+            nvox = float(np.prod(y.shape[1:4]))
+            mean = jnp.sum(yf, (1, 2, 3)) / nvox
+            var = jnp.maximum(
+                jnp.sum(jnp.square(yf), (1, 2, 3)) / nvox - jnp.square(mean),
+                0.0)
+            inv = jax.lax.rsqrt(var + epsilon)
+            dt = out_dtype or x.dtype
+            z = (y * (inv * scale)[:, None, None, None, :].astype(dt)
+                 - ((mean * inv * scale) - offset)[:, None, None, None, :]
+                 .astype(dt))
+            return jnp.where(z >= 0, z, negative_slope * z)
     return _fused(x, w, scale, offset, negative_slope, epsilon,
                   out_dtype or x.dtype, plan)

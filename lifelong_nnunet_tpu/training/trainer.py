@@ -37,7 +37,7 @@ from ..data.augment import AugmentConfig
 from ..data.dataset import PreprocessedDataset, kfold_split, param_search_split
 from ..data.pipeline import Prefetcher
 from ..data.sampler import PatchSampler
-from ..inference.sliding_window import bucket_shape, predict_sliding_window
+from ..inference.sliding_window import predict_sliding_window
 from ..models.multihead import MultiHeadParams
 from ..models.unet import ds_scale_factors, unet_from_plans
 from ..training import checkpoints
@@ -234,11 +234,11 @@ class MultiHeadTrainer:
         # multi-host SPMD: each process samples only its contiguous slice of
         # the global batch (the Prefetcher assembles the global jax.Array);
         # single-host runs are shard (0, 1) == unchanged
-        shard = (jax.process_index(), jax.process_count())
+        from ..data.sampler import input_shard
         return PatchSampler(ds, cases, self.patch_size, self.batch_size,
                             oversample_foreground_percent=self.opts.oversample,
                             seed=self.opts.seed + seed_offset + (0 if train else 1000),
-                            shard=shard)
+                            shard=input_shard())
 
     # -------------------------------------------------------------- setup
     def _ensure_initialized(self, task: str):
@@ -536,12 +536,11 @@ class MultiHeadTrainer:
                 arr = np.asarray(ds.load(case))
                 data = np.moveaxis(arr[:-1], 0, -1)
                 seg = arr[-1].astype(np.int32)
-                bshape = bucket_shape(data.shape[:-1], self.patch_size)
-                pad = [(0, b - s) for s, b in zip(data.shape[:-1], bshape)] + [(0, 0)]
+                # bucket padding happens inside predict_sliding_window
+                # (_prepare) and is undone before return
                 probs = predict_sliding_window(
-                    apply_fn, params, np.pad(data, pad), self.patch_size,
+                    apply_fn, params, data, self.patch_size,
                     self.num_classes, mirror_axes=mirror_axes, window_batch=4)
-                probs = probs[tuple(slice(0, s) for s in data.shape[:-1])]
                 pred = np.argmax(probs, axis=-1)
                 from ..evaluation.metrics import subject_metrics
                 per_subject[case] = subject_metrics(pred, seg, self.num_classes)

@@ -41,8 +41,8 @@ class RehearsalTrainer(MultiHeadTrainer):
             n = max(1, int(round(self.samples_in_perc * len(ptr))))
             chosen = rng.choice(len(ptr), size=min(n, len(ptr)), replace=False)
             pool += [(pds, ptr[i]) for i in chosen]
-        import jax
+        from ...data.sampler import input_shard
         return PatchSampler(None, pool, self.patch_size, self.batch_size,
                             oversample_foreground_percent=self.opts.oversample,
                             seed=self.opts.seed + seed_offset,
-                            shard=(jax.process_index(), jax.process_count()))
+                            shard=input_shard())
