@@ -182,6 +182,98 @@ def _tta_forward(apply_fn, params, x, mirror_axes):
     return acc / len(combos)
 
 
+def _tta_forward_cm(apply_fn, params, x, mirror_axes):
+    """Class-major TTA forward: x [B, *patch, C] -> mean softmax over mirror
+    combos as [K, B, *patch] float32.
+
+    Motivation (measured, RESULTS.md round 2): with num_classes ~= 3 in the
+    minor dim, every f32 op over the logits pads K up to the 128-lane tile —
+    the channel-minor TTA assembly cost ~22 ms/volume at hippocampus scale
+    (vs 43 ms for the entire 64-window forward).  Here the logits move to
+    class-MAJOR immediately after the network (one transpose XLA fuses into
+    the head conv's epilogue) and softmax / unflip / mean all run with wide
+    spatial dims in the lanes.
+
+    The mirror-combo mean uses a pairwise unflip-reduction over flip bits
+    (3 halving passes) instead of 2^n independent split+flip+add passes."""
+    mirror_axes = tuple(mirror_axes)
+    n_ax = len(mirror_axes)
+    if n_ax == 0:
+        logits = jnp.moveaxis(apply_fn(params, x)[0], -1, 0).astype(jnp.float32)
+        return jax.nn.softmax(logits, axis=0)
+    # combos in BITMASK order: bit j of the combo index <=> mirror_axes[j]
+    combos = [tuple(a for j, a in enumerate(mirror_axes) if (c >> j) & 1)
+              for c in range(2 ** n_ax)]
+    b = x.shape[0]
+    expanded = b * len(combos) * int(np.prod(x.shape[1:-1]))
+    if expanded > _TTA_BATCH_MAX_ELEMS:
+        # memory-capped scales: reuse the scanned sequential-variant path,
+        # then transpose once (these scales are scatter-bound anyway)
+        return jnp.moveaxis(_tta_forward(apply_fn, params, x, mirror_axes),
+                            -1, 0)
+    variants = [jnp.flip(x, axis=[a + 1 for a in c]) if c else x for c in combos]
+    big = jnp.concatenate(variants, axis=0)
+    logits = apply_fn(params, big)[0]                      # [nc*B, *patch, K]
+    s = jax.nn.softmax(jnp.moveaxis(logits, -1, 0).astype(jnp.float32), axis=0)
+    # [K, nc*B, *patch] -> [K, 2, ..., 2, B, *patch] (leading 2 = MSB = bit
+    # n_ax-1); reduce one flip bit per pass, unflipping the flipped half
+    s = s.reshape((s.shape[0],) + (2,) * n_ax + (b,) + x.shape[1:-1])
+    for j in reversed(range(n_ax)):
+        s = s[:, 0] + jnp.flip(s[:, 1], axis=j + 2 + mirror_axes[j])
+    return s / len(combos)
+
+
+def _scan_forward(params, data, origins_b, gaussian, apply_fn, patch_size,
+                  mirror_axes, buf_dtype):
+    """lax.scan the TTA forward over window batches.  origins_b [n_b, wb, dim]
+    (may be traced values); returns class-major [n_b, K, wb, *patch]."""
+    dim = len(patch_size)
+
+    def gather_window(origin):
+        return jax.lax.dynamic_slice(
+            data, tuple(origin[a] for a in range(dim)) + (0,),
+            patch_size + (data.shape[-1],))
+
+    def body(_, batch_origins):
+        windows = jax.vmap(gather_window)(batch_origins)
+        probs = _tta_forward_cm(apply_fn, params, windows, mirror_axes)
+        probs = probs * gaussian[None, None]          # [K, wb, *patch]
+        return 0, probs.astype(buf_dtype)
+
+    _, ys = jax.lax.scan(body, 0, origins_b)
+    return ys
+
+
+def _oa_accumulate(probs, patch_size, vol_shape):
+    """Scatter-free overlap-add of a REGULAR half-patch-stride window grid.
+
+    probs: class-major [K, *grid, *patch]; returns [K, *vol] float32.
+    Windows split into 2^dim parity groups; within a group, half-patch-stride
+    windows are exactly adjacent, so the group's windows tile a dense
+    subvolume via a reshape + transpose, and groups combine with 2^dim static
+    pads + adds (zero scatters)."""
+    dim = len(patch_size)
+    steps = tuple(p // 2 for p in patch_size)
+    num_classes = probs.shape[0]
+    acc = jnp.zeros((num_classes,) + tuple(vol_shape), jnp.float32)
+    for g in itertools.product(range(2), repeat=dim):
+        sub = probs[(slice(None),) + tuple(slice(gi, None, 2) for gi in g)]
+        m = sub.shape[1:1 + dim]
+        if any(mi == 0 for mi in m):
+            continue
+        perm = [0]
+        for a in range(dim):
+            perm += [1 + a, 1 + dim + a]
+        dense = sub.transpose(perm).reshape(
+            (num_classes,) + tuple(m[a] * patch_size[a] for a in range(dim)))
+        pad_cfg = [(0, 0)] + [(g[a] * steps[a],
+                               vol_shape[a] - g[a] * steps[a]
+                               - m[a] * patch_size[a])
+                              for a in range(dim)]
+        acc = acc + jnp.pad(dense, pad_cfg).astype(jnp.float32)
+    return acc
+
+
 @partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
                                    "patch_size", "grid_shape", "mirror_axes",
                                    "output"))
@@ -200,10 +292,13 @@ def _sliding_window_oa_jit(params, data, w_inv, gaussian, apply_fn, num_classes,
     transpose, and groups combine with 2^dim static pads + adds.  The weight
     normalizer is the host-precomputed constant `w_inv` (data-independent).
 
-    Memory: the window buffer is bf16 for 'seg' output (argmax after f32
-    accumulation tolerates it), f32 otherwise. For very large CT grids
-    (~400 windows of 128^3) this is a few GB of HBM — still well under one
-    chip; chunk over grid-z slabs if a workload ever exceeds it."""
+    Memory/layout: everything downstream of the network runs CLASS-MAJOR
+    ([K, ...] with spatial dims minor) — a channels-last f32 buffer with
+    K ~= 3 in the minor dim pads K up to the 128-lane TPU tile (~42x HBM
+    expansion and traffic; measured as ~22 ms/volume of TTA-assembly overhead
+    at hippocampus scale vs 43 ms for the whole 64-window forward).  The
+    window buffer is bf16 for 'seg' output (argmax after f32 accumulation
+    tolerates it), f32 otherwise."""
     dim = len(patch_size)
     vol_shape = data.shape[:-1]
     steps = tuple(p // 2 for p in patch_size)
@@ -218,46 +313,114 @@ def _sliding_window_oa_jit(params, data, w_inv, gaussian, apply_fn, num_classes,
     origins_b = jnp.asarray(origins.reshape(-1, wb, dim))
 
     buf_dtype = jnp.bfloat16 if output == "seg" else jnp.float32
-
-    def gather_window(origin):
-        return jax.lax.dynamic_slice(
-            data, tuple(origin[a] for a in range(dim)) + (0,),
-            patch_size + (data.shape[-1],))
-
-    def body(_, batch_origins):
-        windows = jax.vmap(gather_window)(batch_origins)
-        probs = _tta_forward(apply_fn, params, windows, mirror_axes)
-        probs = probs * gaussian[None, ..., None]
-        return 0, probs.astype(buf_dtype)
-
-    _, ys = jax.lax.scan(body, 0, origins_b)          # [n_b, wb, *patch, K]
-    probs = ys.reshape((-1,) + patch_size + (num_classes,))[:n_windows]
-    probs = probs.reshape(grid_shape + patch_size + (num_classes,))
-
-    acc = jnp.zeros(vol_shape + (num_classes,), jnp.float32)
-    for g in itertools.product(range(2), repeat=dim):
-        sub = probs[tuple(slice(gi, None, 2) for gi in g)]
-        m = sub.shape[:dim]
-        if any(mi == 0 for mi in m):
-            continue
-        perm = []
-        for a in range(dim):
-            perm += [a, dim + a]
-        perm.append(2 * dim)
-        dense = sub.transpose(perm).reshape(
-            tuple(m[a] * patch_size[a] for a in range(dim)) + (num_classes,))
-        pad_cfg = [(g[a] * steps[a],
-                    vol_shape[a] - g[a] * steps[a] - m[a] * patch_size[a])
-                   for a in range(dim)] + [(0, 0)]
-        acc = acc + jnp.pad(dense, pad_cfg).astype(jnp.float32)
+    ys = _scan_forward(params, data, origins_b, gaussian, apply_fn, patch_size,
+                       mirror_axes, buf_dtype)       # [n_b, K, wb, *patch]
+    probs = jnp.moveaxis(ys, 1, 0).reshape(
+        (num_classes, -1) + patch_size)[:, :n_windows]
+    probs = probs.reshape((num_classes,) + grid_shape + patch_size)
+    acc = _oa_accumulate(probs, patch_size, vol_shape)
 
     if output == "seg":
         # weight normalization is positive and per-voxel -> argmax unaffected
-        return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
-    probs_out = acc * w_inv[..., None]
+        return jnp.argmax(acc, axis=0).astype(jnp.uint8)
+    probs_out = jnp.moveaxis(acc, 0, -1) * w_inv[..., None]
     if output == "probs_bf16":
         return probs_out.astype(jnp.bfloat16)
     return probs_out
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
+                                   "patch_size", "slab_grid", "slab_axis",
+                                   "mirror_axes", "buf_dtype"),
+         donate_argnums=(0,))
+def _oa_slab_step(acc, params, data, offset, gaussian, apply_fn, num_classes,
+                  window_batch, patch_size, slab_grid, slab_axis, mirror_axes,
+                  buf_dtype=jnp.float32):
+    """One slab of the chunked overlap-add core: forward + scatter-free
+    accumulate of a rectangular sub-grid of windows (full grid extent on
+    every axis except ``slab_axis``, where it spans ``slab_grid[slab_axis]``
+    consecutive grid rows starting at voxel ``offset``).
+
+    ``offset`` is a traced scalar, so ONE compiled program serves every slab
+    position of the same slab_grid shape; ``acc`` [K, *vol] is donated and
+    stays in HBM across dispatches."""
+    dim = len(patch_size)
+    steps = tuple(p // 2 for p in patch_size)
+    n_windows = int(np.prod(slab_grid))
+
+    base = np.array(list(itertools.product(*[range(n) for n in slab_grid])),
+                    dtype=np.int32) * np.array(steps, dtype=np.int32)
+    wb = max(1, min(window_batch, n_windows))
+    rem = (-n_windows) % wb
+    if rem:  # repeat last origin; extra rows are sliced away before overlap-add
+        base = np.concatenate([base, np.repeat(base[-1:], rem, axis=0)])
+    shift = jnp.zeros((dim,), jnp.int32).at[slab_axis].set(offset)
+    origins_b = (jnp.asarray(base) + shift[None]).reshape(-1, wb, dim)
+
+    ys = _scan_forward(params, data, origins_b, gaussian, apply_fn, patch_size,
+                       mirror_axes, buf_dtype)       # [n_b, K, wb, *patch]
+    probs = jnp.moveaxis(ys, 1, 0).reshape(
+        (num_classes, -1) + patch_size)[:, :n_windows]
+    probs = probs.reshape((num_classes,) + slab_grid + patch_size)
+
+    slab_vol = tuple(
+        (slab_grid[a] - 1) * steps[a] + patch_size[a] if a == slab_axis
+        else acc.shape[1 + a] for a in range(dim))
+    slab_acc = _oa_accumulate(probs, patch_size, slab_vol)
+
+    start = (0,) + tuple(offset if a == slab_axis else 0 for a in range(dim))
+    cur = jax.lax.dynamic_slice(acc, start, (num_classes,) + slab_vol)
+    return jax.lax.dynamic_update_slice(acc, cur + slab_acc, start)
+
+
+@partial(jax.jit, static_argnames=("output",))
+def _oa_finalize(acc, w_inv, output="probs"):
+    if output == "seg":
+        # weight normalization is positive and per-voxel -> argmax unaffected
+        return jnp.argmax(acc, axis=0).astype(jnp.uint8)
+    probs = jnp.moveaxis(acc, 0, -1) * w_inv[..., None]
+    if output == "probs_bf16":
+        return probs.astype(jnp.bfloat16)
+    return probs
+
+
+def _sliding_window_oa_slab(params, data, w_inv, gaussian, apply_fn,
+                            num_classes, window_batch, patch_size, grid_shape,
+                            mirror_axes, output="probs"):
+    """Chunked overlap-add for regular grids too big for one OA program.
+
+    The grid is sliced into slabs of consecutive rows along its largest axis;
+    each slab runs as one bounded `_oa_slab_step` dispatch (forward + parity-
+    group overlap-add, ZERO scatters) adding into a donated device-resident
+    [K, *vol] accumulator.  Adjacent slabs overlap by half a patch on the
+    slab axis; both contributions land in the shared accumulator, so the
+    result is identical to the monolithic OA core.  Replaces the serialized
+    per-window scatter at CT scale (the scatter was ~40% of a 384^3 volume's
+    latency) while keeping per-program device time bounded (axon worker
+    crashes on multi-minute programs)."""
+    dim = len(patch_size)
+    vol_shape = tuple(data.shape[:-1])
+    steps = tuple(p // 2 for p in patch_size)
+    n_combos = 2 ** len(mirror_axes)
+    pvox = int(np.prod(patch_size))
+    s = int(np.argmax(grid_shape))
+    per_row = int(np.prod(grid_shape)) // grid_shape[s]
+    row_cost = per_row * pvox * n_combos
+    k = max(1, min(int(_OA_SLAB_MAX_TTA_WINDOW_VOXELS // max(1, row_cost)),
+                   grid_shape[s]))
+    while k > 1 and (k * per_row * pvox * num_classes * 4) > _OA_BUFFER_CAP_BYTES:
+        k -= 1
+
+    acc = jnp.zeros((num_classes,) + vol_shape, jnp.float32)
+    gaussian = jnp.asarray(gaussian)
+    for i0 in range(0, grid_shape[s], k):
+        kk = min(k, grid_shape[s] - i0)
+        slab_grid = tuple(kk if a == s else grid_shape[a] for a in range(dim))
+        acc = _oa_slab_step(acc, params, data, jnp.int32(i0 * steps[s]),
+                            gaussian, apply_fn, num_classes, window_batch,
+                            patch_size, slab_grid, s, tuple(mirror_axes),
+                            jnp.bfloat16 if output == "seg" else jnp.float32)
+    return _oa_finalize(acc, w_inv, output)
 
 
 # bound the device work of ONE dispatch: a single XLA program running for
@@ -265,6 +428,13 @@ def _sliding_window_oa_jit(params, data, w_inv, gaussian, apply_fn, num_classes,
 # grid, ~2.5 min/volume); chunking also keeps the host responsive. The cap
 # is in window-voxels (windows x patch voxels) per dispatch.
 _MAX_WINDOW_VOXELS_PER_DISPATCH = 32 * 128 ** 3
+
+# per-slab-dispatch cap for the chunked OA core, in TTA-expanded window
+# voxels.  384M ~= 15-30 s of device time at measured conv throughputs —
+# safely under the axon worker's multi-minute crash threshold while letting
+# a full 512x512 CT grid plane (21 windows x 128^3 x 8 TTA = 352M) run as
+# one dispatch.
+_OA_SLAB_MAX_TTA_WINDOW_VOXELS = 384_000_000
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "num_classes", "patch_size",
@@ -278,9 +448,6 @@ def _sw_scatter_step(prob_acc, w_acc, params, data, origins_b, valid_b,
     accumulators (donated: updated in place across dispatches)."""
     dim = len(patch_size)
 
-    def forward(x):
-        return _tta_forward(apply_fn, params, x, mirror_axes)
-
     def gather_window(origin):
         return jax.lax.dynamic_slice(
             data, tuple(origin[a] for a in range(dim)) + (0,),
@@ -290,8 +457,8 @@ def _sw_scatter_step(prob_acc, w_acc, params, data, origins_b, valid_b,
         batch_origins, batch_valid = ov
         prob_acc, w_acc = carry
         windows = jax.vmap(gather_window)(batch_origins)
-        probs = forward(windows) * gaussian[None, ..., None]
-        probs = jnp.moveaxis(probs, -1, 1)          # [wb, K, *patch]
+        probs = _tta_forward_cm(apply_fn, params, windows, mirror_axes)
+        probs = jnp.swapaxes(probs * gaussian[None, None], 0, 1)  # [wb,K,*patch]
 
         def scatter_one(carry2, owv):
             pa, wa = carry2
@@ -439,7 +606,25 @@ def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
             return _sliding_window_oa_jit(params, dev, w_inv, jnp.asarray(gaussian),
                                           apply_fn, num_classes, wb, patch_size,
                                           grid_shape, tuple(mirror_axes), output)
-        # huge regular grid: use the scatter core with the regular origins
+        # regular grid too big for one OA program: chunked slab OA, as long
+        # as a single grid row along the largest axis fits one dispatch
+        s = int(np.argmax(grid_shape))
+        per_row = n_windows // grid_shape[s]
+        row_cost = per_row * int(np.prod(patch_size)) * n_combos
+        row_buf = per_row * int(np.prod(patch_size)) * num_classes * 4
+        if (row_cost <= _OA_SLAB_MAX_TTA_WINDOW_VOXELS
+                and row_buf <= _OA_BUFFER_CAP_BYTES):
+            if output == "seg":
+                w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
+            else:
+                w_inv = jnp.asarray(_weight_inv(tuple(dev.shape[:-1]), patch_size,
+                                                grid_shape, use_gaussian))
+            return _sliding_window_oa_slab(params, dev, w_inv, gaussian,
+                                           apply_fn, num_classes, wb,
+                                           patch_size, grid_shape,
+                                           tuple(mirror_axes), output)
+        # degenerate: even one grid row exceeds a bounded dispatch — fall
+        # back to the per-window scatter core with the regular origins
         origins, wb, valid = _cached_grid(tuple(dev.shape[:-1]), patch_size,
                                           0.5, wb)
     else:

@@ -114,6 +114,88 @@ def test_overlap_add_matches_scatter_fallback():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=2e-5)
 
 
+def test_oa_slab_matches_monolithic(monkeypatch):
+    """The chunked slab OA core (bounded dispatches, donated accumulator)
+    must reproduce the monolithic overlap-add exactly, for both output modes
+    and for a slab axis other than 0."""
+    import lifelong_nnunet_tpu.inference.sliding_window as sw
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+    model = GenericUNet(num_classes=3, pool_op_kernel_sizes=((2, 2, 2),),
+                        conv_kernel_sizes=((3, 3, 3), (3, 3, 3)),
+                        base_num_features=4, max_num_features=8)
+    rng = np.random.RandomState(4)
+    # grid largest along axis 1 -> slab axis must follow it
+    data = rng.rand(20, 40, 18, 1).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 16, 1)))["params"]
+    apply_fn = lambda p, xx: model.apply({"params": p}, xx)
+    patch = (16, 16, 16)
+    for output in ("probs", "seg"):
+        ref = predict_sliding_window(apply_fn, params, data, patch, 3,
+                                     mirror_axes=(1,), window_batch=3,
+                                     output=output)
+        # force the slab path: monolithic cap below this grid's TTA voxels,
+        # slab cap sized for k=2 of the 4 grid rows (2 chained dispatches):
+        # row cost = 4 windows x 16^3 x 2 TTA combos = 32768
+        monkeypatch.setattr(sw, "_OA_MAX_TTA_WINDOW_VOXELS", 1)
+        monkeypatch.setattr(sw, "_OA_SLAB_MAX_TTA_WINDOW_VOXELS", 70_000)
+        got = predict_sliding_window(apply_fn, params, data, patch, 3,
+                                     mirror_axes=(1,), window_batch=3,
+                                     output=output)
+        monkeypatch.undo()
+        if output == "probs":
+            np.testing.assert_allclose(got, ref, atol=2e-5)
+            probs_ref = ref
+        else:
+            # f32 accumulation order differs across slabs, so argmax may flip
+            # on EXACT near-ties; every disagreeing voxel must be one
+            diff = got != ref
+            if diff.any():
+                top2 = np.sort(probs_ref[diff], axis=-1)[:, -2:]
+                assert (top2[:, 1] - top2[:, 0] < 1e-4).all(), \
+                    "seg mismatch at a non-tied voxel"
+                assert diff.mean() < 0.005
+
+
+def test_oa_slab_single_row_dispatches(monkeypatch):
+    """When only one grid row fits per dispatch (k=1), the slab loop must
+    still chain correctly through the donated accumulator."""
+    import lifelong_nnunet_tpu.inference.sliding_window as sw
+    params = {"w": jnp.asarray(2.0)}
+    rng = np.random.RandomState(5)
+    data = rng.rand(40, 20, 18, 1).astype(np.float32)
+    patch = (16, 16, 16)
+    ref = predict_sliding_window(_const_apply, params, data, patch, 2,
+                                 mirror_axes=(0,), window_batch=2)
+    monkeypatch.setattr(sw, "_OA_MAX_TTA_WINDOW_VOXELS", 1)
+    # row cost = 4 windows x 16^3 x 2 TTA combos = 32768 -> cap 40k gives k=1
+    monkeypatch.setattr(sw, "_OA_SLAB_MAX_TTA_WINDOW_VOXELS", 40_000)
+    got = predict_sliding_window(_const_apply, params, data, patch, 2,
+                                 mirror_axes=(0,), window_batch=2)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_tta_forward_class_major_matches_channel_minor():
+    """_tta_forward_cm (class-major logits, bitwise pairwise unflip-reduce)
+    must equal _tta_forward (channel-minor split+flip+add) on a real,
+    flip-sensitive network, for every mirror-axes subset."""
+    from lifelong_nnunet_tpu.inference.sliding_window import (
+        _tta_forward, _tta_forward_cm)
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+    model = GenericUNet(num_classes=3, pool_op_kernel_sizes=((2, 2, 2),),
+                        conv_kernel_sizes=((3, 3, 3), (3, 3, 3)),
+                        base_num_features=4, max_num_features=8)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 8, 12, 8, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    apply_fn = lambda p, xx: model.apply({"params": p}, xx)
+    for axes in [(), (1,), (0, 2), (0, 1, 2)]:
+        ref = np.asarray(_tta_forward(apply_fn, params, x, axes))
+        cm = np.asarray(_tta_forward_cm(apply_fn, params, x, axes))
+        assert cm.shape == (3,) + x.shape[:-1]
+        np.testing.assert_allclose(np.moveaxis(cm, 0, -1), ref, atol=1e-5,
+                                   err_msg=f"mirror_axes={axes}")
+
+
 def test_oa_buffer_cap_falls_back_to_scatter(monkeypatch):
     """CT-scale grids whose overlap-add window buffer would blow HBM must
     dispatch to the scatter core (same result; measured 26 GB OA OOM at
