@@ -535,24 +535,33 @@ def _sliding_window_jit(params, data, origins, valid, gaussian, apply_fn,
     return _sw_scatter_finalize(prob_acc, w_acc, output)
 
 
-def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
-    """Host-side prep. When the patch is even on every axis and
-    step_fraction == 0.5, the volume is additionally padded (high side) to
-    `bucket_shape`, which makes the window grid REGULAR (origins = i*patch/2)
-    — enabling the scatter-free overlap-add core AND collapsing compile-cache
-    entries across the volume stream.  Returns
-    (padded, undo, origins, wb, gaussian, grid_shape) with grid_shape=None
+@lru_cache(maxsize=256)
+def _prepare_meta(spatial_shape: tuple, patch_size: tuple, step_fraction: float,
+                  window_batch: int, use_gaussian: bool):
+    """Shape-only host prep (pure function of shapes, cached across the
+    volume stream).  Combines the centered pad-to-patch with the high-side
+    bucket pad into ONE pad config so callers can pad on device.  When the
+    patch is even on every axis and step_fraction == 0.5, the bucket pad
+    makes the window grid REGULAR (origins = i*patch/2) — enabling the
+    scatter-free overlap-add cores AND collapsing compile-cache entries
+    across the volume stream.  Returns
+    (pads, undo, origins, wb, gaussian, grid_shape) with grid_shape=None
     when only the irregular-grid fallback applies."""
-    data = np.asarray(data)
-    patch_size = tuple(patch_size)
     regular = step_fraction == 0.5 and all(p % 2 == 0 for p in patch_size)
-    padded, undo = pad_to_min(data, patch_size)
+    pads, undo = [], []
+    for s, p in zip(spatial_shape, patch_size):
+        need = max(0, p - s)
+        lo = need // 2
+        pads.append([lo, need - lo])
+        undo.append(slice(lo, lo + s))
+    padded_sp = tuple(s + lo + hi
+                      for s, (lo, hi) in zip(spatial_shape, pads))
     grid_shape = None
     if regular:
-        bshape = bucket_shape(padded.shape[:-1], patch_size, step_fraction)
-        extra = [(0, b - s) for b, s in zip(bshape, padded.shape[:-1])] + [(0, 0)]
-        if any(e[1] for e in extra):
-            padded = np.pad(padded, extra)
+        bshape = bucket_shape(padded_sp, patch_size, step_fraction)
+        for a in range(len(pads)):
+            pads[a][1] += bshape[a] - padded_sp[a]
+        padded_sp = bshape
         grid_shape = tuple((b - p) // (p // 2) + 1
                            for b, p in zip(bshape, patch_size))
         origins, wb = None, max(1, min(window_batch, int(np.prod(grid_shape))))
@@ -560,11 +569,32 @@ def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
         # origin-list padding to a multiple of wb repeats origin 0; the
         # `valid` mask zeroes the repeats out of BOTH accumulators (they do
         # NOT cancel in the normalization — see _cached_grid's docstring)
-        origins, wb, valid = _cached_grid(tuple(padded.shape[:-1]), patch_size,
+        origins, wb, valid = _cached_grid(padded_sp, patch_size,
                                           step_fraction, window_batch)
         origins = (origins, valid)
     gaussian = (gaussian_importance_map(patch_size) if use_gaussian
                 else np.ones(patch_size, np.float32))
+    pads = tuple((lo, hi) for lo, hi in pads) + ((0, 0),)
+    return pads, tuple(undo), origins, wb, gaussian, grid_shape
+
+
+@partial(jax.jit, static_argnames=("pads",))
+def _pad_device(x, pads):
+    """Zero-pad on device: the volume stream uploads RAW volumes (fewer
+    bytes over the host link, no host-side np.pad on the 1-CPU host)."""
+    return jnp.pad(x, pads)
+
+
+def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
+    """Host-padding variant of `_prepare_meta` for callers that need the
+    padded array on host (e.g. stacking for sharded serving).  Returns
+    (padded, undo, origins, wb, gaussian, grid_shape)."""
+    data = np.asarray(data)
+    patch_size = tuple(patch_size)
+    pads, undo, origins, wb, gaussian, grid_shape = _prepare_meta(
+        tuple(data.shape[:-1]), patch_size, step_fraction, window_batch,
+        use_gaussian)
+    padded = np.pad(data, pads) if any(any(p) for p in pads) else data
     return padded, undo, origins, wb, gaussian, grid_shape
 
 
@@ -651,10 +681,13 @@ def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
     apply_fn(params, x) must return the model's DS output list (highest
     resolution first) for x [B, *patch, C]."""
     patch_size = tuple(int(p) for p in patch_size)
-    prep = _prepare(data, patch_size, step_fraction, window_batch, use_gaussian)
-    padded, undo = prep[0], prep[1]
-    dev = jnp.asarray(padded.astype(np.float32) if not input_bf16
-                      else padded.astype(jnp.bfloat16))
+    data = np.asarray(data)
+    prep = _prepare_meta(tuple(data.shape[:-1]), patch_size, step_fraction,
+                         window_batch, use_gaussian)
+    pads, undo = prep[0], prep[1]
+    raw = jnp.asarray(data.astype(np.float32) if not input_bf16
+                      else data.astype(jnp.bfloat16))
+    dev = _pad_device(raw, pads) if any(any(p) for p in pads) else raw
     out = _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
                     mirror_axes, output, use_gaussian)
     out = np.asarray(out)
@@ -732,10 +765,13 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
     pending = []  # (device result, undo slicer)
     results: list = [None] * len(volumes)
     for i, v in enumerate(volumes):
-        prep = _prepare(v, patch_size, step_fraction, window_batch, True)
-        padded, undo = prep[0], prep[1]
-        dev = jnp.asarray(padded.astype(jnp.bfloat16) if input_bf16
-                          else padded.astype(np.float32))
+        v = np.asarray(v)
+        prep = _prepare_meta(tuple(v.shape[:-1]), patch_size, step_fraction,
+                             window_batch, True)
+        pads, undo = prep[0], prep[1]
+        raw = jnp.asarray(v.astype(jnp.bfloat16) if input_bf16
+                          else v.astype(np.float32))
+        dev = _pad_device(raw, pads) if any(any(p) for p in pads) else raw
         out = _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
                         mirror_axes, output)
         pending.append((i, out, undo))
