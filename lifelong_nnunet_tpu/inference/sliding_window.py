@@ -52,23 +52,36 @@ def _cached_grid(image_size: tuple, patch_size: tuple, step_fraction: float,
     return origins, wb, valid
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=8)
 def _weight_inv(vol_shape: tuple, patch_size: tuple, grid_shape: tuple,
                 use_gaussian: bool) -> np.ndarray:
     """1 / (summed per-window importance) for a REGULAR half-patch-stride grid.
 
     The weight accumulator is data-independent, so it is computed once on host
     and shipped as a constant instead of being scatter-accumulated on device
-    every volume (it was half the serialized-scatter cost)."""
+    every volume (it was half the serialized-scatter cost).
+
+    The sum over the Cartesian window grid factorizes into one comb-sum PER
+    AXIS (shifts along different axes commute): axis a replaces extent p_a by
+    the full volume extent via grid_shape[a] shifted adds.  That is
+    O(Σ_a n_a · partial-volume) instead of O(Π_a n_a · patch) — ~12x fewer
+    element-adds at CT scale (512³-class volumes), in f32 (cache kept small:
+    a full CT-scale f32 map is ~300 MB)."""
     g = (gaussian_importance_map(patch_size) if use_gaussian
          else np.ones(patch_size, np.float32))
     steps = tuple(p // 2 for p in patch_size)
-    w = np.zeros(vol_shape, np.float64)
-    for idx in itertools.product(*[range(n) for n in grid_shape]):
-        sl = tuple(slice(i * st, i * st + p)
-                   for i, st, p in zip(idx, steps, patch_size))
-        w[sl] += g
-    return (1.0 / w).astype(np.float32)
+    w = g.astype(np.float32)
+    # expand the largest axes last so intermediates stay small
+    for a in sorted(range(len(vol_shape)), key=lambda a: vol_shape[a]):
+        shape = list(w.shape)
+        shape[a] = vol_shape[a]
+        out = np.zeros(shape, np.float32)
+        sl = [slice(None)] * len(shape)
+        for i in range(grid_shape[a]):
+            sl[a] = slice(i * steps[a], i * steps[a] + patch_size[a])
+            out[tuple(sl)] += w
+        w = out
+    return 1.0 / w
 
 
 def compute_steps(image_size, patch_size, step_fraction: float = 0.5) -> list:
@@ -103,19 +116,24 @@ def gaussian_importance_map(patch_size, sigma_scale: float = 1 / 8) -> np.ndarra
     return g.astype(np.float32)
 
 
-def pad_to_min(data: np.ndarray, patch_size):
-    """Pad spatial dims of [*, C]-last array up to at least patch size
-    (centered, zero padding). Returns (padded, slicer-to-undo)."""
-    spatial = data.shape[:-1]
+def _center_pads(spatial, patch_size):
+    """Centered pad-to-at-least-patch config for spatial dims.  Returns
+    ([[lo, hi], ...], [undo slice, ...]) — THE padding rule for inference
+    (shared by pad_to_min and _prepare_meta)."""
     pads, sl = [], []
     for s, p in zip(spatial, patch_size):
         need = max(0, p - s)
         lo = need // 2
-        hi = need - lo
-        pads.append((lo, hi))
+        pads.append([lo, need - lo])
         sl.append(slice(lo, lo + s))
-    pads.append((0, 0))
-    return np.pad(data, pads), tuple(sl)
+    return pads, sl
+
+
+def pad_to_min(data: np.ndarray, patch_size):
+    """Pad spatial dims of [*, C]-last array up to at least patch size
+    (centered, zero padding). Returns (padded, slicer-to-undo)."""
+    pads, sl = _center_pads(data.shape[:-1], patch_size)
+    return np.pad(data, [tuple(p) for p in pads] + [(0, 0)]), tuple(sl)
 
 
 def bucket_shape(shape, patch_size, step_fraction: float = 0.5):
@@ -244,6 +262,31 @@ def _scan_forward(params, data, origins_b, gaussian, apply_fn, patch_size,
     return ys
 
 
+def _grid_probs(params, data, grid, shift, gaussian, apply_fn, num_classes,
+                window_batch, patch_size, mirror_axes, buf_dtype):
+    """Forward a rectangular window grid (origin = index*steps [+ shift]) and
+    return class-major gaussian-weighted probs [K, *grid, *patch].  The
+    origin list is padded to a window_batch multiple by repeating the last
+    origin; the extra rows are sliced away before the reshape."""
+    dim = len(patch_size)
+    steps = tuple(p // 2 for p in patch_size)
+    n_windows = int(np.prod(grid))
+    base = np.array(list(itertools.product(*[range(n) for n in grid])),
+                    dtype=np.int32) * np.array(steps, dtype=np.int32)
+    wb = max(1, min(window_batch, n_windows))
+    rem = (-n_windows) % wb
+    if rem:
+        base = np.concatenate([base, np.repeat(base[-1:], rem, axis=0)])
+    origins = jnp.asarray(base)
+    if shift is not None:
+        origins = origins + shift[None]
+    ys = _scan_forward(params, data, origins.reshape(-1, wb, dim), gaussian,
+                       apply_fn, patch_size, mirror_axes, buf_dtype)
+    probs = jnp.moveaxis(ys, 1, 0).reshape(
+        (num_classes, -1) + patch_size)[:, :n_windows]
+    return probs.reshape((num_classes,) + tuple(grid) + patch_size)
+
+
 def _oa_accumulate(probs, patch_size, vol_shape):
     """Scatter-free overlap-add of a REGULAR half-patch-stride window grid.
 
@@ -299,34 +342,12 @@ def _sliding_window_oa_jit(params, data, w_inv, gaussian, apply_fn, num_classes,
     at hippocampus scale vs 43 ms for the whole 64-window forward).  The
     window buffer is bf16 for 'seg' output (argmax after f32 accumulation
     tolerates it), f32 otherwise."""
-    dim = len(patch_size)
     vol_shape = data.shape[:-1]
-    steps = tuple(p // 2 for p in patch_size)
-    n_windows = int(np.prod(grid_shape))
-
-    origins = np.array(list(itertools.product(*[range(n) for n in grid_shape])),
-                       dtype=np.int32) * np.array(steps, dtype=np.int32)
-    wb = max(1, min(window_batch, n_windows))
-    rem = (-n_windows) % wb
-    if rem:  # repeat last origin; extra rows are sliced away before overlap-add
-        origins = np.concatenate([origins, np.repeat(origins[-1:], rem, axis=0)])
-    origins_b = jnp.asarray(origins.reshape(-1, wb, dim))
-
-    buf_dtype = jnp.bfloat16 if output == "seg" else jnp.float32
-    ys = _scan_forward(params, data, origins_b, gaussian, apply_fn, patch_size,
-                       mirror_axes, buf_dtype)       # [n_b, K, wb, *patch]
-    probs = jnp.moveaxis(ys, 1, 0).reshape(
-        (num_classes, -1) + patch_size)[:, :n_windows]
-    probs = probs.reshape((num_classes,) + grid_shape + patch_size)
+    probs = _grid_probs(params, data, grid_shape, None, gaussian, apply_fn,
+                        num_classes, window_batch, patch_size, mirror_axes,
+                        jnp.bfloat16 if output == "seg" else jnp.float32)
     acc = _oa_accumulate(probs, patch_size, vol_shape)
-
-    if output == "seg":
-        # weight normalization is positive and per-voxel -> argmax unaffected
-        return jnp.argmax(acc, axis=0).astype(jnp.uint8)
-    probs_out = jnp.moveaxis(acc, 0, -1) * w_inv[..., None]
-    if output == "probs_bf16":
-        return probs_out.astype(jnp.bfloat16)
-    return probs_out
+    return _oa_finalize(acc, w_inv, output)
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
@@ -346,22 +367,10 @@ def _oa_slab_step(acc, params, data, offset, gaussian, apply_fn, num_classes,
     stays in HBM across dispatches."""
     dim = len(patch_size)
     steps = tuple(p // 2 for p in patch_size)
-    n_windows = int(np.prod(slab_grid))
-
-    base = np.array(list(itertools.product(*[range(n) for n in slab_grid])),
-                    dtype=np.int32) * np.array(steps, dtype=np.int32)
-    wb = max(1, min(window_batch, n_windows))
-    rem = (-n_windows) % wb
-    if rem:  # repeat last origin; extra rows are sliced away before overlap-add
-        base = np.concatenate([base, np.repeat(base[-1:], rem, axis=0)])
     shift = jnp.zeros((dim,), jnp.int32).at[slab_axis].set(offset)
-    origins_b = (jnp.asarray(base) + shift[None]).reshape(-1, wb, dim)
-
-    ys = _scan_forward(params, data, origins_b, gaussian, apply_fn, patch_size,
-                       mirror_axes, buf_dtype)       # [n_b, K, wb, *patch]
-    probs = jnp.moveaxis(ys, 1, 0).reshape(
-        (num_classes, -1) + patch_size)[:, :n_windows]
-    probs = probs.reshape((num_classes,) + slab_grid + patch_size)
+    probs = _grid_probs(params, data, slab_grid, shift, gaussian, apply_fn,
+                        num_classes, window_batch, patch_size, mirror_axes,
+                        buf_dtype)
 
     slab_vol = tuple(
         (slab_grid[a] - 1) * steps[a] + patch_size[a] if a == slab_axis
@@ -403,12 +412,13 @@ def _sliding_window_oa_slab(params, data, w_inv, gaussian, apply_fn,
     steps = tuple(p // 2 for p in patch_size)
     n_combos = 2 ** len(mirror_axes)
     pvox = int(np.prod(patch_size))
+    bpe = 2 if output == "seg" else 4  # window buffer is bf16 for seg
     s = int(np.argmax(grid_shape))
     per_row = int(np.prod(grid_shape)) // grid_shape[s]
     row_cost = per_row * pvox * n_combos
     k = max(1, min(int(_OA_SLAB_MAX_TTA_WINDOW_VOXELS // max(1, row_cost)),
                    grid_shape[s]))
-    while k > 1 and (k * per_row * pvox * num_classes * 4) > _OA_BUFFER_CAP_BYTES:
+    while k > 1 and (k * per_row * pvox * num_classes * bpe) > _OA_BUFFER_CAP_BYTES:
         k -= 1
 
     acc = jnp.zeros((num_classes,) + vol_shape, jnp.float32)
@@ -548,12 +558,7 @@ def _prepare_meta(spatial_shape: tuple, patch_size: tuple, step_fraction: float,
     (pads, undo, origins, wb, gaussian, grid_shape) with grid_shape=None
     when only the irregular-grid fallback applies."""
     regular = step_fraction == 0.5 and all(p % 2 == 0 for p in patch_size)
-    pads, undo = [], []
-    for s, p in zip(spatial_shape, patch_size):
-        need = max(0, p - s)
-        lo = need // 2
-        pads.append([lo, need - lo])
-        undo.append(slice(lo, lo + s))
+    pads, undo = _center_pads(spatial_shape, patch_size)
     padded_sp = tuple(s + lo + hi
                       for s, (lo, hi) in zip(spatial_shape, pads))
     grid_shape = None
@@ -583,6 +588,26 @@ def _pad_device(x, pads):
     """Zero-pad on device: the volume stream uploads RAW volumes (fewer
     bytes over the host link, no host-side np.pad on the 1-CPU host)."""
     return jnp.pad(x, pads)
+
+
+# Device-side padding compiles one (trivial) XLA program PER RAW SHAPE —
+# medical streams have near-unique per-case shapes, so small volumes host-pad
+# (np.pad of a few MB is ~free and keeps the jit cache bounded) and only
+# large volumes (np.pad of a CT-scale array costs ~0.3-0.5 s of the 1-CPU
+# host's time per volume, every volume) pay the per-shape pad compile.
+_HOST_PAD_MAX_BYTES = 64_000_000
+
+
+def _to_device_padded(v: np.ndarray, pads, input_bf16: bool):
+    """Upload one volume and apply its pad config (host- or device-side by
+    size; see _HOST_PAD_MAX_BYTES)."""
+    if not any(any(p) for p in pads):
+        return jnp.asarray(v.astype(jnp.bfloat16 if input_bf16 else np.float32))
+    if v.nbytes <= _HOST_PAD_MAX_BYTES:
+        return jnp.asarray(np.pad(v, pads).astype(
+            jnp.bfloat16 if input_bf16 else np.float32))
+    raw = jnp.asarray(v.astype(jnp.bfloat16 if input_bf16 else np.float32))
+    return _pad_device(raw, pads)
 
 
 def _prepare(data, patch_size, step_fraction, window_batch, use_gaussian):
@@ -641,7 +666,8 @@ def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
         s = int(np.argmax(grid_shape))
         per_row = n_windows // grid_shape[s]
         row_cost = per_row * int(np.prod(patch_size)) * n_combos
-        row_buf = per_row * int(np.prod(patch_size)) * num_classes * 4
+        row_buf = (per_row * int(np.prod(patch_size)) * num_classes
+                   * (2 if output == "seg" else 4))
         if (row_cost <= _OA_SLAB_MAX_TTA_WINDOW_VOXELS
                 and row_buf <= _OA_BUFFER_CAP_BYTES):
             if output == "seg":
@@ -685,9 +711,7 @@ def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
     prep = _prepare_meta(tuple(data.shape[:-1]), patch_size, step_fraction,
                          window_batch, use_gaussian)
     pads, undo = prep[0], prep[1]
-    raw = jnp.asarray(data.astype(np.float32) if not input_bf16
-                      else data.astype(jnp.bfloat16))
-    dev = _pad_device(raw, pads) if any(any(p) for p in pads) else raw
+    dev = _to_device_padded(data, pads, input_bf16)
     out = _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
                     mirror_axes, output, use_gaussian)
     out = np.asarray(out)
@@ -769,9 +793,7 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
         prep = _prepare_meta(tuple(v.shape[:-1]), patch_size, step_fraction,
                              window_batch, True)
         pads, undo = prep[0], prep[1]
-        raw = jnp.asarray(v.astype(jnp.bfloat16) if input_bf16
-                          else v.astype(np.float32))
-        dev = _pad_device(raw, pads) if any(any(p) for p in pads) else raw
+        dev = _to_device_padded(v, pads, input_bf16)
         out = _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
                         mirror_axes, output)
         pending.append((i, out, undo))

@@ -22,44 +22,20 @@ def one_hot(target, num_classes):
     return jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
 
 
-def _log_softmax_cm(logits):
-    """Class-major log-softmax: logits [B,*sp,C] -> logp [C,B,*sp] float32.
-
-    TPU layout note: with C ~= 3 classes in the minor dim, f32 buffers pad C
-    up to the 128-lane tile (same effect measured at ~42x HBM expansion in
-    the inference assembly, RESULTS.md round 2).  One transpose up front puts
-    the wide spatial dims in the lanes for every downstream op."""
-    x = jnp.moveaxis(logits, -1, 0).astype(jnp.float32)
-    m = jax.lax.stop_gradient(jnp.max(x, axis=0, keepdims=True))
-    s = x - m
-    return s - jnp.log(jnp.sum(jnp.exp(s), axis=0, keepdims=True))
-
-
 def soft_dice_loss(logits, target, batch_dice: bool = True, smooth: float = 1e-5,
                    ignore_background: bool = True):
     """1 - soft Dice over foreground classes. logits [B,*sp,C], target [B,*sp].
     ``batch_dice=True`` pools tp/fp/fn over the whole batch (nnU-Net rule when
-    batch size is small / 3D); else per-sample then averaged.
-
-    Per-class reductions over dense [B,*sp] slices (fp = sum(p) - tp,
-    fn = sum(y) - tp) instead of materializing a one-hot [B,*sp,C] tensor —
-    saves both the 128-lane padding of the class dim and the one-hot's HBM
-    traffic."""
+    batch size is small / 3D); else per-sample then averaged."""
     num_classes = logits.shape[-1]
-    probs = jnp.exp(_log_softmax_cm(logits))        # [C, B, *sp]
-    validf = (target >= 0).astype(jnp.float32)
-    axes = None if batch_dice else tuple(range(1, target.ndim))
-    tps, fps, fns = [], [], []
-    for c in range(num_classes):
-        p_c = probs[c] * validf
-        y_c = (target == c).astype(jnp.float32) * validf
-        tp = jnp.sum(p_c * y_c, axis=axes)
-        fps.append(jnp.sum(p_c, axis=axes) - tp)
-        fns.append(jnp.sum(y_c, axis=axes) - tp)
-        tps.append(tp)
-    tp = jnp.stack(tps, axis=-1)
-    fp = jnp.stack(fps, axis=-1)
-    fn = jnp.stack(fns, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    valid = (target >= 0)[..., None].astype(jnp.float32)
+    y = one_hot(target, num_classes) * valid
+    p = probs * valid
+    axes = tuple(range(0, logits.ndim - 1)) if batch_dice else tuple(range(1, logits.ndim - 1))
+    tp = jnp.sum(p * y, axis=axes)
+    fp = jnp.sum(p * (1.0 - y), axis=axes)
+    fn = jnp.sum((1.0 - p) * y, axis=axes)
     dc = (2 * tp + smooth) / (2 * tp + fp + fn + smooth)
     if ignore_background:
         dc = dc[..., 1:] if batch_dice else dc[:, 1:]
@@ -67,15 +43,13 @@ def soft_dice_loss(logits, target, batch_dice: bool = True, smooth: float = 1e-5
 
 
 def cross_entropy_loss(logits, target, ignore_index: int = -1):
-    """Mean CE over voxels with target != ignore_index (class-major, no
-    one-hot materialization)."""
+    """Mean CE over voxels with target != ignore_index."""
     num_classes = logits.shape[-1]
     valid = (target != ignore_index).astype(jnp.float32)
-    logp = _log_softmax_cm(logits)                  # [C, B, *sp]
-    ce = 0.0
-    for c in range(num_classes):
-        ce = ce + logp[c] * (target == c).astype(jnp.float32)
-    return -(ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    y = one_hot(target, num_classes)
+    ce = -(y * logp).sum(axis=-1)
+    return (ce * valid).sum() / jnp.maximum(valid.sum(), 1.0)
 
 
 def dc_and_ce_loss(logits, target, batch_dice: bool = True, smooth: float = 1e-5):

@@ -92,7 +92,7 @@ def main():
     diffs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(go, gn)]
     print("max |grad_old - grad_new| per output:", diffs)
 
-    def timed(fn, n=20):
+    def timed(fn, n=60):
         fn(outputs, targets)  # warm
         s = jnp.float32(0)
         t0 = time.perf_counter()
@@ -102,7 +102,7 @@ def main():
         float(s)  # scalar fetch forces completion
         return (time.perf_counter() - t0) / n * 1e3
 
-    for rep in range(3):
+    for rep in range(4):
         a = timed(grad_old)
         b = timed(grad_new)
         print(f"pass {rep}: old {a:.2f} ms  new {b:.2f} ms  speedup {a/b:.2f}x")
