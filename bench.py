@@ -68,10 +68,10 @@ def _make_model(classes: int, pools: int, dtype, inference: bool = False):
         conv_kernel_sizes=((3, 3, 3),) * (pools + 1),
         base_num_features=32, max_num_features=320,
         dtype=dtype)
-    # LNN_PALLAS_CONV=1 enables the fused Pallas conv for the inference
-    # benches; the train_mfu workload keeps XLA so its number matches the
-    # default training configuration (opt into the kernel with --pallas_conv
-    # in real training)
+    # The fused Pallas conv is the DEFAULT inference path on TPU
+    # (LNN_PALLAS_CONV=0 disables); the train_mfu workload keeps XLA so its
+    # number matches the default training configuration (opt into the kernel
+    # with --pallas_conv in real training)
     return maybe_pallas_conv(model) if inference else model
 
 

@@ -253,14 +253,19 @@ class GenericUNet(nn.Module):
 
 
 def maybe_pallas_conv(model):
-    """Clone with the fused Pallas conv path enabled when LNN_PALLAS_CONV=1.
+    """Clone with the fused Pallas conv path enabled — the DEFAULT for
+    inference call sites (run_inference, evaluator2, bench); disable with
+    LNN_PALLAS_CONV=0.
 
-    Convenience env toggle used by inference call sites (run_inference,
-    evaluator2, bench); training enables the same path via ``--pallas_conv``
-    (the kernel is differentiable — custom VJP, see ops/pallas/conv3d).
-    Checkpoints are flag-agnostic (identical param tree)."""
+    Safe as a default: the routing (ConvNormAct._use_pallas) only fires on
+    TPU for bf16 3x3x3/stride-1 stages with lane-aligned widths and falls
+    back to the XLA composition everywhere else, and the kernel is measured
+    1.43x on the CT sliding-window workload (RESULTS.md).  Training enables
+    the same path via ``--pallas_conv`` (the kernel is differentiable —
+    custom VJP, see ops/pallas/conv3d).  Checkpoints are flag-agnostic
+    (identical param tree)."""
     import os
-    if os.environ.get("LNN_PALLAS_CONV") == "1" and hasattr(model, "pallas_conv"):
+    if os.environ.get("LNN_PALLAS_CONV", "1") != "0" and hasattr(model, "pallas_conv"):
         return model.clone(pallas_conv=True)
     return model
 

@@ -95,6 +95,8 @@ def test_maybe_pallas_conv_env(monkeypatch):
     m = GenericUNet(num_classes=2, pool_op_kernel_sizes=((2, 2, 2),),
                     conv_kernel_sizes=((3, 3, 3), (3, 3, 3)))
     monkeypatch.delenv("LNN_PALLAS_CONV", raising=False)
+    assert maybe_pallas_conv(m).pallas_conv is True  # default ON (TPU-gated)
+    monkeypatch.setenv("LNN_PALLAS_CONV", "0")
     assert maybe_pallas_conv(m).pallas_conv is False
     monkeypatch.setenv("LNN_PALLAS_CONV", "1")
     assert maybe_pallas_conv(m).pallas_conv is True
