@@ -351,6 +351,27 @@ def _sliding_window_oa_jit(params, data, w_inv, gaussian, apply_fn, num_classes,
 
 
 @partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
+                                   "patch_size", "grid_shape", "mirror_axes",
+                                   "output"))
+def _sliding_window_oa_vmapped(params, data_b, w_inv, gaussian, apply_fn,
+                               num_classes, window_batch, patch_size,
+                               grid_shape, mirror_axes, output="seg"):
+    """Volume-BATCHED overlap-add: vmap the monolithic OA core over a stack
+    of same-shape padded volumes [B, *vol, C] -> one XLA program per B.
+
+    Round 1 measured a 6x REGRESSION vmapping the scatter core (batched
+    dynamic_update_slice serializes); the OA core is scatter-free (dense
+    reshape/pad/add), which vmaps cleanly — volume batching folds the
+    B dimension into the TTA forward batch (B*nc*wb windows per conv) and
+    amortizes per-program dispatch + host sync across the stream."""
+    def one(d):
+        return _sliding_window_oa_jit(params, d, w_inv, gaussian, apply_fn,
+                                      num_classes, window_batch, patch_size,
+                                      grid_shape, mirror_axes, output)
+    return jax.vmap(one)(data_b)
+
+
+@partial(jax.jit, static_argnames=("apply_fn", "num_classes", "window_batch",
                                    "patch_size", "slab_grid", "slab_axis",
                                    "mirror_axes", "buf_dtype"),
          donate_argnums=(0,))
@@ -774,34 +795,103 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
     return [out[i][undos[i]] for i in range(len(volumes))]
 
 
+def _vmap_eligible_batch(prep, patch_size, num_classes, mirror_axes, output,
+                         volume_batch):
+    """Largest volume batch (<= volume_batch) the vmapped OA core can take
+    for this shape under the buffer/program-size caps; 1 disables batching."""
+    grid_shape = prep[5]
+    if grid_shape is None or volume_batch <= 1:
+        return 1
+    n_windows = int(np.prod(grid_shape))
+    pvox = int(np.prod(patch_size))
+    per_buf = n_windows * pvox * num_classes * (2 if output == "seg" else 4)
+    per_tta = n_windows * pvox * (2 ** len(mirror_axes))
+    if per_buf <= 0 or per_tta <= 0:
+        return 1
+    return int(max(1, min(volume_batch, _OA_BUFFER_CAP_BYTES // per_buf,
+                          _OA_MAX_TTA_WINDOW_VOXELS // per_tta)))
+
+
 def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
                                  num_classes: int, mirror_axes=(0, 1, 2),
                                  step_fraction: float = 0.5, window_batch: int = 4,
-                                 output: str = "seg", input_bf16: bool = True):
+                                 output: str = "seg", input_bf16: bool = True,
+                                 volume_batch: int = 1):
     """Inference over a stream of volumes sharing one compiled program.
 
-    Measured note: vmapping the whole sliding-window core over a volume batch
-    regresses ~6x — the per-window dynamic_update_slice accumulation becomes
-    a batched scatter the TPU compiler serializes poorly.  A device-queue
-    pipeline (dispatch volume k+1 before fetching volume k's result) hides
-    the host<->device latency instead."""
+    A device-queue pipeline (dispatch volume k+1 before fetching volume k's
+    result) hides the host<->device latency.  ``volume_batch > 1``
+    additionally groups consecutive SAME-SHAPE volumes into one vmapped
+    overlap-add program (`_sliding_window_oa_vmapped`): the volume dimension
+    folds into the TTA forward's conv batch and the per-program dispatch +
+    sync amortizes across the group.  (Round 1 measured vmapping the SCATTER
+    core 6x slower — batched dynamic_update_slice serializes; the vmapped
+    path exists only for the scatter-free OA core and falls back to
+    per-volume dispatch for irregular/oversized grids.)"""
     patch_size = tuple(int(p) for p in patch_size)
-    pending = []  # (device result, undo slicer)
+    pending = []  # (indices, device result, undo slicer)
     results: list = [None] * len(volumes)
+
+    def fetch(entry):
+        idxs, out, undo = entry
+        arr = np.asarray(out)
+        for pos, j in enumerate(idxs):
+            r = arr[pos][undo] if len(idxs) > 1 else arr[undo]
+            results[j] = r.astype(np.float32) if output == "probs_bf16" else r
+
+    def dispatch(entry):
+        pending.append(entry)
+        if len(pending) >= 2:  # fetch the oldest while the newest computes
+            fetch(pending.pop(0))
+
+    group: list = []  # [(index, np volume)] sharing one raw shape
+
+    def flush_group():
+        if not group:
+            return
+        idxs = [g[0] for g in group]
+        arrs = [g[1] for g in group]
+        group.clear()
+        prep = _prepare_meta(tuple(arrs[0].shape[:-1]), patch_size,
+                             step_fraction, window_batch, True)
+        pads, undo = prep[0], prep[1]
+        if len(arrs) == 1:
+            dev = _to_device_padded(arrs[0], pads, input_bf16)
+            out = _run_core(apply_fn, params, dev, prep, patch_size,
+                            num_classes, mirror_axes, output)
+            dispatch(([idxs[0]], out, undo))
+            return
+        dtype = jnp.bfloat16 if input_bf16 else np.float32
+        stack = np.stack([np.pad(a, pads) for a in arrs]).astype(dtype)
+        _, _, _, wb, gaussian, grid_shape = prep
+        if output == "seg":
+            w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
+        else:
+            w_inv = jnp.asarray(_weight_inv(tuple(stack.shape[1:-1]),
+                                            patch_size, grid_shape, True))
+        out = _sliding_window_oa_vmapped(
+            params, jnp.asarray(stack), w_inv, jnp.asarray(gaussian),
+            apply_fn, num_classes, wb, patch_size, grid_shape,
+            tuple(mirror_axes), output)
+        dispatch((idxs, out, undo))
+
     for i, v in enumerate(volumes):
         v = np.asarray(v)
         prep = _prepare_meta(tuple(v.shape[:-1]), patch_size, step_fraction,
                              window_batch, True)
-        pads, undo = prep[0], prep[1]
-        dev = _to_device_padded(v, pads, input_bf16)
-        out = _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
-                        mirror_axes, output)
-        pending.append((i, out, undo))
-        if len(pending) >= 2:  # fetch the oldest while the newest computes
-            j, o, u = pending.pop(0)
-            results[j] = np.asarray(o)[u]
-    for j, o, u in pending:
-        results[j] = np.asarray(o)[u]
-    if output == "probs_bf16":
-        results = [r.astype(np.float32) for r in results]
+        bmax = _vmap_eligible_batch(prep, patch_size, num_classes,
+                                    mirror_axes, output, volume_batch)
+        if bmax <= 1:
+            flush_group()
+            group.append((i, v))
+            flush_group()
+            continue
+        if group and group[0][1].shape != v.shape:
+            flush_group()
+        group.append((i, v))
+        if len(group) >= bmax:
+            flush_group()
+    flush_group()
+    for entry in pending:
+        fetch(entry)
     return results

@@ -375,3 +375,36 @@ def test_scatter_chunked_dispatch_equivalence(monkeypatch):
                                      2, mirror_axes=(1,), window_batch=2)
     assert len(calls) > 1, "expected multiple bounded dispatches"
     np.testing.assert_allclose(chunked, ref, atol=2e-5)
+
+
+def test_volume_batched_stream_matches_per_volume():
+    """predict_sliding_window_multi(volume_batch>1) groups same-shape volumes
+    into the vmapped OA core; results must equal the per-volume path, and
+    mixed-shape / ineligible volumes must still come back in order."""
+    import lifelong_nnunet_tpu.inference.sliding_window as sw
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+    model = GenericUNet(num_classes=3, pool_op_kernel_sizes=((2, 2, 2),),
+                        conv_kernel_sizes=((3, 3, 3), (3, 3, 3)),
+                        base_num_features=4, max_num_features=8)
+    rng = np.random.RandomState(7)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 16, 1)))["params"]
+    apply_fn = lambda p, xx: model.apply({"params": p}, xx)
+    patch = (16, 16, 16)
+    # 3 same-shape + 1 different-shape volume interleaved
+    vols = [rng.rand(20, 24, 18, 1).astype(np.float32) for _ in range(2)]
+    vols.append(rng.rand(18, 20, 16, 1).astype(np.float32))
+    vols.append(rng.rand(20, 24, 18, 1).astype(np.float32))
+    for output in ("probs", "seg"):
+        ref = sw.predict_sliding_window_multi(
+            apply_fn, params, vols, patch, 3, mirror_axes=(1,),
+            window_batch=3, output=output, input_bf16=False)
+        got = sw.predict_sliding_window_multi(
+            apply_fn, params, vols, patch, 3, mirror_axes=(1,),
+            window_batch=3, output=output, input_bf16=False, volume_batch=4)
+        for r, g in zip(ref, got):
+            assert g.shape == r.shape
+            if output == "probs":
+                np.testing.assert_allclose(g, r, atol=2e-5)
+            else:
+                assert (g == r).mean() > 0.995  # f32 order may flip exact ties
