@@ -829,13 +829,13 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
     path exists only for the scatter-free OA core and falls back to
     per-volume dispatch for irregular/oversized grids.)"""
     patch_size = tuple(int(p) for p in patch_size)
-    pending = []  # (indices, device result, undo slicer)
+    pending = []  # (indices, device result, per-index undo slicers)
     results: list = [None] * len(volumes)
 
     def fetch(entry):
-        idxs, out, undo = entry
+        idxs, out, undos = entry
         arr = np.asarray(out)
-        for pos, j in enumerate(idxs):
+        for pos, (j, undo) in enumerate(zip(idxs, undos)):
             r = arr[pos][undo] if len(idxs) > 1 else arr[undo]
             results[j] = r.astype(np.float32) if output == "probs_bf16" else r
 
@@ -844,26 +844,28 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
         if len(pending) >= 2:  # fetch the oldest while the newest computes
             fetch(pending.pop(0))
 
-    group: list = []  # [(index, np volume)] sharing one raw shape
+    # volumes grouped by PADDED shape (different raw shapes bucket-pad to the
+    # same grid — that is what makes batching engage on real case streams)
+    group: list = []  # [(index, np volume, prep)]
 
     def flush_group():
         if not group:
             return
         idxs = [g[0] for g in group]
         arrs = [g[1] for g in group]
+        preps = [g[2] for g in group]
         group.clear()
-        prep = _prepare_meta(tuple(arrs[0].shape[:-1]), patch_size,
-                             step_fraction, window_batch, True)
-        pads, undo = prep[0], prep[1]
         if len(arrs) == 1:
-            dev = _to_device_padded(arrs[0], pads, input_bf16)
+            prep = preps[0]
+            dev = _to_device_padded(arrs[0], prep[0], input_bf16)
             out = _run_core(apply_fn, params, dev, prep, patch_size,
                             num_classes, mirror_axes, output)
-            dispatch(([idxs[0]], out, undo))
+            dispatch(([idxs[0]], out, [prep[1]]))
             return
         dtype = jnp.bfloat16 if input_bf16 else np.float32
-        stack = np.stack([np.pad(a, pads) for a in arrs]).astype(dtype)
-        _, _, _, wb, gaussian, grid_shape = prep
+        stack = np.stack([np.pad(a, p[0]) for a, p in zip(arrs, preps)]
+                         ).astype(dtype)
+        _, _, _, wb, gaussian, grid_shape = preps[0]
         if output == "seg":
             w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
         else:
@@ -873,7 +875,11 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
             params, jnp.asarray(stack), w_inv, jnp.asarray(gaussian),
             apply_fn, num_classes, wb, patch_size, grid_shape,
             tuple(mirror_axes), output)
-        dispatch((idxs, out, undo))
+        dispatch((idxs, out, [p[1] for p in preps]))
+
+    def padded_shape(v, prep):
+        return tuple(s + lo + hi
+                     for s, (lo, hi) in zip(v.shape[:-1], prep[0]))
 
     for i, v in enumerate(volumes):
         v = np.asarray(v)
@@ -883,12 +889,12 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
                                     mirror_axes, output, volume_batch)
         if bmax <= 1:
             flush_group()
-            group.append((i, v))
+            group.append((i, v, prep))
             flush_group()
             continue
-        if group and group[0][1].shape != v.shape:
+        if group and padded_shape(group[0][1], group[0][2]) != padded_shape(v, prep):
             flush_group()
-        group.append((i, v))
+        group.append((i, v, prep))
         if len(group) >= bmax:
             flush_group()
     flush_group()

@@ -391,17 +391,33 @@ def test_volume_batched_stream_matches_per_volume():
                         jnp.zeros((1, 16, 16, 16, 1)))["params"]
     apply_fn = lambda p, xx: model.apply({"params": p}, xx)
     patch = (16, 16, 16)
-    # 3 same-shape + 1 different-shape volume interleaved
+    # 2 same-shape volumes + 1 different-raw-shape sharing their padded
+    # bucket (17,23,18 -> (24,24,24) like 20,24,18) + 1 different bucket
     vols = [rng.rand(20, 24, 18, 1).astype(np.float32) for _ in range(2)]
+    vols.append(rng.rand(17, 23, 18, 1).astype(np.float32))
     vols.append(rng.rand(18, 20, 16, 1).astype(np.float32))
-    vols.append(rng.rand(20, 24, 18, 1).astype(np.float32))
+    batches = []
+    orig = sw._sliding_window_oa_vmapped
+
+    def counting(params_, data_b, *a, **k):
+        batches.append(int(data_b.shape[0]))
+        return orig(params_, data_b, *a, **k)
+
     for output in ("probs", "seg"):
         ref = sw.predict_sliding_window_multi(
             apply_fn, params, vols, patch, 3, mirror_axes=(1,),
             window_batch=3, output=output, input_bf16=False)
-        got = sw.predict_sliding_window_multi(
-            apply_fn, params, vols, patch, 3, mirror_axes=(1,),
-            window_batch=3, output=output, input_bf16=False, volume_batch=4)
+        sw._sliding_window_oa_vmapped = counting
+        try:
+            got = sw.predict_sliding_window_multi(
+                apply_fn, params, vols, patch, 3, mirror_axes=(1,),
+                window_batch=3, output=output, input_bf16=False,
+                volume_batch=4)
+        finally:
+            sw._sliding_window_oa_vmapped = orig
+        # the 3 volumes sharing the (24,24,24) bucket must batch together
+        assert batches and max(batches) == 3, batches
+        batches.clear()
         for r, g in zip(ref, got):
             assert g.shape == r.shape
             if output == "probs":
