@@ -795,6 +795,14 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
     return [out[i][undos[i]] for i in range(len(volumes))]
 
 
+# the vmapped stream multiplies the TTA forward's conv batch by the volume
+# batch — a factor _tta_forward_cm's own per-volume _TTA_BATCH_MAX_ELEMS
+# check cannot see.  Cap the COMBINED expanded batch (volumes x window_batch
+# x mirror combos x patch voxels); 64M elems ~= 4 GB of bf16 stage-0
+# activations at 32 channels, safely inside v5e HBM.
+_VMAP_TTA_BATCH_MAX_ELEMS = 64_000_000
+
+
 def _vmap_eligible_batch(prep, patch_size, num_classes, mirror_axes, output,
                          volume_batch):
     """Largest volume batch (<= volume_batch) the vmapped OA core can take
@@ -804,12 +812,15 @@ def _vmap_eligible_batch(prep, patch_size, num_classes, mirror_axes, output,
         return 1
     n_windows = int(np.prod(grid_shape))
     pvox = int(np.prod(patch_size))
+    wb = prep[3]
     per_buf = n_windows * pvox * num_classes * (2 if output == "seg" else 4)
     per_tta = n_windows * pvox * (2 ** len(mirror_axes))
+    per_fwd = wb * (2 ** len(mirror_axes)) * pvox
     if per_buf <= 0 or per_tta <= 0:
         return 1
     return int(max(1, min(volume_batch, _OA_BUFFER_CAP_BYTES // per_buf,
-                          _OA_MAX_TTA_WINDOW_VOXELS // per_tta)))
+                          _OA_MAX_TTA_WINDOW_VOXELS // per_tta,
+                          _VMAP_TTA_BATCH_MAX_ELEMS // per_fwd)))
 
 
 def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
