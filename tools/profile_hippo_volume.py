@@ -85,6 +85,32 @@ print(f"volume program (TTA8 + OA + argmax): {t_vol:.1f} ms, "
       f"{f_vol/1e12:.2f} TFLOP -> {f_vol/t_vol/1e9:.1f} TFLOP/s", flush=True)
 print(f"  assembly tax vs bare forward: {t_vol - t_fwd:.1f} ms", flush=True)
 
+# ---- 2b. component split: forward-scan vs overlap-add+argmax --------------
+wb_eff = wb
+import jax as _jax
+
+@_jax.jit
+def fwd_scan_only(p, d):
+    probs = sw._grid_probs(p, d, grid_shape, None, jnp.asarray(gaussian),
+                           apply_fn, K, wb_eff, PATCH, (0, 1, 2), jnp.bfloat16)
+    return probs.ravel()[0]
+
+t_scan = timed(lambda: fwd_scan_only(params, dev), lambda r: float(r))
+print(f"gather+TTA-forward scan only: {t_scan:.1f} ms "
+      f"(assembly-within-forward tax vs bare b64: {t_scan - t_fwd:.1f} ms)",
+      flush=True)
+
+probs_const = jnp.zeros((K,) + grid_shape + PATCH, jnp.bfloat16)
+
+@_jax.jit
+def oa_argmax_only(pr):
+    acc = sw._oa_accumulate(pr, PATCH, dev.shape[:-1])
+    return jnp.argmax(acc, axis=0).astype(jnp.uint8)
+
+t_oa = timed(lambda: oa_argmax_only(probs_const),
+             lambda r: np.asarray(r[0, 0, 0]))
+print(f"overlap-add + argmax only: {t_oa:.1f} ms", flush=True)
+
 # ---- 3. streamed end-to-end ----------------------------------------------
 vols = [np.random.RandomState(i).normal(size=VOL + (1,)).astype(np.float32)
         for i in range(30)]
