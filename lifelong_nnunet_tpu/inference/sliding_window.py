@@ -746,7 +746,8 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
                                    mirror_axes=(0, 1, 2),
                                    step_fraction: float = 0.5,
                                    window_batch: int = 8,
-                                   output: str = "seg", input_bf16: bool = True):
+                                   output: str = "seg", input_bf16: bool = True,
+                                   volume_batch: int = 1):
     """Multi-chip serving: volumes sharded one-per-device over the mesh's
     'data' axis; every device runs the full single-volume sliding-window core
     on its shard (shard_map), params replicated.  This scales volume
@@ -776,7 +777,25 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
     if rem:
         stack = np.concatenate([stack, np.repeat(stack[:1], rem, axis=0)])
 
+    b_shard = len(stack) // n_dev
+
     def per_device(vols_shard):  # [B/n_dev, *vol, C]
+        # regular grids small enough for the vmapped OA core: batch the
+        # device's whole shard into ONE forward program (same win as
+        # predict_sliding_window_multi's volume_batch); else serialize
+        if (volume_batch > 1 and b_shard > 1
+                and _vmap_eligible_batch(prep0, patch_size, num_classes,
+                                         mirror_axes, output,
+                                         b_shard) >= b_shard):
+            _, _, _, wb0, gaussian0, grid0 = prep0
+            w_inv = (jnp.float32(1.0) if output == "seg" else
+                     jnp.asarray(_weight_inv(tuple(vols_shard.shape[1:-1]),
+                                             patch_size, grid0, True)))
+            return _sliding_window_oa_vmapped(
+                params, vols_shard, w_inv, jnp.asarray(gaussian0), apply_fn,
+                num_classes, wb0, patch_size, grid0, tuple(mirror_axes),
+                output)
+
         def one(v):
             return _run_core(apply_fn, params, v, prep0, patch_size,
                              num_classes, mirror_axes, output)

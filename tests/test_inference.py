@@ -290,6 +290,26 @@ def test_sharded_multi_volume_inference():
         np.testing.assert_array_equal(s, ref)
 
 
+def test_sharded_inference_volume_batched():
+    """volume_batch>1 with more volumes than devices: each device's shard
+    runs the vmapped OA core; results equal the per-volume path."""
+    from lifelong_nnunet_tpu.inference.sliding_window import (
+        predict_sliding_window_sharded)
+    from lifelong_nnunet_tpu.parallel.mesh import make_mesh
+    params = {"w": jnp.asarray(2.0)}
+    rng = np.random.RandomState(3)
+    vols = [rng.rand(20, 20, 20, 1).astype(np.float32) for _ in range(9)]
+    mesh = make_mesh(4, data_parallel=4)  # 9 vols -> shards of 3 (padded 12)
+    segs = predict_sliding_window_sharded(
+        _const_apply, params, vols, (16, 16, 16), 2, mesh=mesh,
+        mirror_axes=(1,), input_bf16=False, volume_batch=4)
+    assert len(segs) == 9
+    for v, s in zip(vols, segs):
+        ref = predict_sliding_window(_const_apply, params, v, (16, 16, 16), 2,
+                                     mirror_axes=(1,), output="seg")
+        np.testing.assert_array_equal(s, ref)
+
+
 def test_sharded_inference_per_volume_undo():
     """Volumes SMALLER than the patch with DIFFERENT original shapes share one
     padded shape; each must be cropped by its own undo slicer."""
