@@ -444,3 +444,24 @@ def test_volume_batched_stream_matches_per_volume():
                 np.testing.assert_allclose(g, r, atol=2e-5)
             else:
                 assert (g == r).mean() > 0.995  # f32 order may flip exact ties
+
+
+def test_weight_inv_matches_bruteforce():
+    """The per-axis comb-sum construction of the OA weight normalizer must
+    equal the brute-force per-window accumulation."""
+    import itertools
+    import lifelong_nnunet_tpu.inference.sliding_window as sw
+    for patch, grid in [((16, 16, 16), (2, 3, 2)), ((8, 12, 8), (1, 2, 4))]:
+        vol = tuple((g - 1) * (p // 2) + p for g, p in zip(grid, patch))
+        for use_gaussian in (True, False):
+            g = (sw.gaussian_importance_map(patch) if use_gaussian
+                 else np.ones(patch, np.float32))
+            steps = tuple(p // 2 for p in patch)
+            w = np.zeros(vol, np.float64)
+            for idx in itertools.product(*[range(n) for n in grid]):
+                sl = tuple(slice(i * st, i * st + p)
+                           for i, st, p in zip(idx, steps, patch))
+                w[sl] += g
+            ref = (1.0 / w).astype(np.float32)
+            got = sw._weight_inv(vol, patch, grid, use_gaussian)
+            np.testing.assert_allclose(got, ref, rtol=1e-5)
