@@ -712,6 +712,63 @@ def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
                                tuple(mirror_axes), output)
 
 
+def _predict_2d_over_3d(apply_fn, params, data: np.ndarray, patch_size,
+                        num_classes, mirror_axes, step_fraction, window_batch,
+                        use_gaussian, output, input_bf16):
+    """2D network over a 3D volume: per-slice tiled 2D prediction, the
+    counterpart of upstream nnU-Net's ``_internal_predict_3D_2Dconv_tiled``
+    (invoked whenever the ``2d`` configuration predicts/validates a volume).
+
+    TPU-native formulation: slices are INDEPENDENT, so they ride the vmapped
+    overlap-add core as the volume batch — the slice dimension folds into
+    the TTA forward's conv batch (a [D*wb*combos, ph, pw, C] conv instead of
+    D sequential slice programs).  Slices are chunked under the vmap caps;
+    chunks keep one compiled shape by padding with repeated slices."""
+    mirror_axes = tuple(a for a in mirror_axes if a < len(patch_size))
+    D = data.shape[0]
+    prep = _prepare_meta(tuple(data.shape[1:-1]), patch_size, step_fraction,
+                         window_batch, use_gaussian)
+    pads, undo, _, wb, gaussian, grid_shape = prep
+    padded = (np.pad(data, ((0, 0),) + pads)
+              if any(any(p) for p in pads) else data)
+    dev_all = jnp.asarray(padded.astype(jnp.bfloat16 if input_bf16
+                                        else np.float32))
+    chunks = []
+    if grid_shape is not None:
+        n_windows = int(np.prod(grid_shape))
+        pvox = int(np.prod(patch_size))
+        per_buf = n_windows * pvox * num_classes * (2 if output == "seg" else 4)
+        per_tta = n_windows * pvox * (2 ** len(mirror_axes))
+        per_fwd = wb * (2 ** len(mirror_axes)) * pvox
+        k = int(max(1, min(D, _OA_BUFFER_CAP_BYTES // max(1, per_buf),
+                           _OA_MAX_TTA_WINDOW_VOXELS // max(1, per_tta),
+                           _VMAP_TTA_BATCH_MAX_ELEMS // max(1, per_fwd))))
+        if output == "seg":
+            w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
+        else:
+            w_inv = jnp.asarray(_weight_inv(tuple(padded.shape[1:-1]),
+                                            patch_size, grid_shape,
+                                            use_gaussian))
+        g = jnp.asarray(gaussian)
+        for s0 in range(0, D, k):
+            chunk = dev_all[s0:s0 + k]
+            n_valid = chunk.shape[0]
+            if n_valid < k and s0 > 0:  # keep one compiled shape
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], k - n_valid, axis=0)])
+            out = _sliding_window_oa_vmapped(
+                params, chunk, w_inv, g, apply_fn, num_classes, wb,
+                patch_size, grid_shape, mirror_axes, output)
+            chunks.append(np.asarray(out[:n_valid]))
+    else:  # irregular 2D grid (odd patch dims): slice-serial scatter core
+        for d in range(D):
+            out = _run_core(apply_fn, params, dev_all[d], prep, patch_size,
+                            num_classes, mirror_axes, output, use_gaussian)
+            chunks.append(np.asarray(out)[None])
+    res = np.concatenate(chunks, axis=0)
+    return res[(slice(None),) + undo]
+
+
 def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
                            num_classes: int, mirror_axes=(0, 1, 2),
                            step_fraction: float = 0.5, window_batch: int = 4,
@@ -726,9 +783,18 @@ def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
     tolerate bf16).
 
     apply_fn(params, x) must return the model's DS output list (highest
-    resolution first) for x [B, *patch, C]."""
+    resolution first) for x [B, *patch, C].  A 2D ``patch_size`` over a 3D
+    volume routes to per-slice tiled prediction (``_predict_2d_over_3d``)."""
     patch_size = tuple(int(p) for p in patch_size)
     data = np.asarray(data)
+    if data.ndim - 1 == len(patch_size) + 1:  # 2D net on a 3D volume
+        out = _predict_2d_over_3d(apply_fn, params, data, patch_size,
+                                  num_classes, mirror_axes, step_fraction,
+                                  window_batch, use_gaussian, output,
+                                  input_bf16)
+        if output == "probs_bf16":
+            out = out.astype(np.float32)
+        return out
     prep = _prepare_meta(tuple(data.shape[:-1]), patch_size, step_fraction,
                          window_batch, use_gaussian)
     pads, undo = prep[0], prep[1]

@@ -465,3 +465,37 @@ def test_weight_inv_matches_bruteforce():
             ref = (1.0 / w).astype(np.float32)
             got = sw._weight_inv(vol, patch, grid, use_gaussian)
             np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_2d_patch_over_3d_volume_matches_per_slice():
+    """A 2D patch over a 3D volume (the 2d configuration's inference mode,
+    upstream _internal_predict_3D_2Dconv_tiled) must equal slice-by-slice 2D
+    prediction — for regular (even-patch OA) and irregular (odd-patch
+    scatter) grids and both output modes."""
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+    model = GenericUNet(num_classes=3, pool_op_kernel_sizes=((2, 2),),
+                        conv_kernel_sizes=((3, 3), (3, 3)),
+                        base_num_features=4, max_num_features=8)
+    rng = np.random.RandomState(11)
+    vol = rng.rand(5, 20, 18, 1).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 16, 1)))["params"]
+    apply_fn = lambda p, xx: model.apply({"params": p}, xx)
+    # odd patch (irregular grid -> slice-serial scatter path) needs a
+    # pool-free model; the real pooled UNet requires stride-divisible patches
+    cases = [((16, 16), apply_fn, params, 3),
+             ((15, 15), _const_apply, {"w": jnp.asarray(2.0)}, 2)]
+    for patch, fn, ps, K in cases:
+        for output in ("probs", "seg"):
+            got = predict_sliding_window(fn, ps, vol, patch, K,
+                                         mirror_axes=(0, 1), output=output)
+            assert got.shape[:3] == vol.shape[:3] if output != "seg" \
+                else got.shape == vol.shape[:3]
+            for d in range(vol.shape[0]):
+                ref = predict_sliding_window(fn, ps, vol[d], patch, K,
+                                             mirror_axes=(0, 1),
+                                             output=output)
+                if output == "probs":
+                    np.testing.assert_allclose(got[d], ref, atol=2e-5)
+                else:
+                    assert (got[d] == ref).mean() > 0.995
