@@ -14,7 +14,7 @@ import os
 from .. import paths
 from ..inference.predict import predict_from_folder
 from ..training.restore import restore_trainer
-from .run_evaluation import _locate_model
+from .run_evaluation import _locate_model, _resolve_task_args
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run_inference(argv=None):
     args = build_parser().parse_args(argv)
+    # numeric task ids resolve to TaskXXX_Name exactly like the evaluator CLI
+    _resolve_task_args(args)
     results = paths.require(paths.results_dir(create=False), "results")
     params_per_fold, trainer = [], None
     for fold in args.folds:
