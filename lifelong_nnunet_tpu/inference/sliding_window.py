@@ -674,11 +674,8 @@ def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
         tta_window_voxels = n_windows * int(np.prod(patch_size)) * n_combos
         if (buf_bytes <= _OA_BUFFER_CAP_BYTES
                 and tta_window_voxels <= _OA_MAX_TTA_WINDOW_VOXELS):
-            if output == "seg":
-                w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
-            else:
-                w_inv = jnp.asarray(_weight_inv(tuple(dev.shape[:-1]), patch_size,
-                                                grid_shape, use_gaussian))
+            w_inv = _w_inv_for(output, dev.shape[:-1], patch_size, grid_shape,
+                               use_gaussian)
             return _sliding_window_oa_jit(params, dev, w_inv, jnp.asarray(gaussian),
                                           apply_fn, num_classes, wb, patch_size,
                                           grid_shape, tuple(mirror_axes), output)
@@ -691,11 +688,8 @@ def _run_core(apply_fn, params, dev, prep, patch_size, num_classes,
                    * (2 if output == "seg" else 4))
         if (row_cost <= _OA_SLAB_MAX_TTA_WINDOW_VOXELS
                 and row_buf <= _OA_BUFFER_CAP_BYTES):
-            if output == "seg":
-                w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
-            else:
-                w_inv = jnp.asarray(_weight_inv(tuple(dev.shape[:-1]), patch_size,
-                                                grid_shape, use_gaussian))
+            w_inv = _w_inv_for(output, dev.shape[:-1], patch_size, grid_shape,
+                               use_gaussian)
             return _sliding_window_oa_slab(params, dev, w_inv, gaussian,
                                            apply_fn, num_classes, wb,
                                            patch_size, grid_shape,
@@ -729,26 +723,13 @@ def _predict_2d_over_3d(apply_fn, params, data: np.ndarray, patch_size,
     prep = _prepare_meta(tuple(data.shape[1:-1]), patch_size, step_fraction,
                          window_batch, use_gaussian)
     pads, undo, _, wb, gaussian, grid_shape = prep
-    padded = (np.pad(data, ((0, 0),) + pads)
-              if any(any(p) for p in pads) else data)
-    dev_all = jnp.asarray(padded.astype(jnp.bfloat16 if input_bf16
-                                        else np.float32))
+    dev_all = _to_device_padded(data, ((0, 0),) + pads, input_bf16)
     chunks = []
-    if grid_shape is not None:
-        n_windows = int(np.prod(grid_shape))
-        pvox = int(np.prod(patch_size))
-        per_buf = n_windows * pvox * num_classes * (2 if output == "seg" else 4)
-        per_tta = n_windows * pvox * (2 ** len(mirror_axes))
-        per_fwd = wb * (2 ** len(mirror_axes)) * pvox
-        k = int(max(1, min(D, _OA_BUFFER_CAP_BYTES // max(1, per_buf),
-                           _OA_MAX_TTA_WINDOW_VOXELS // max(1, per_tta),
-                           _VMAP_TTA_BATCH_MAX_ELEMS // max(1, per_fwd))))
-        if output == "seg":
-            w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
-        else:
-            w_inv = jnp.asarray(_weight_inv(tuple(padded.shape[1:-1]),
-                                            patch_size, grid_shape,
-                                            use_gaussian))
+    k = _vmap_eligible_batch(prep, patch_size, num_classes, mirror_axes,
+                             output, D)
+    if k >= 1:  # regular grid, a slice chunk fits one vmapped OA program
+        w_inv = _w_inv_for(output, dev_all.shape[1:-1], patch_size,
+                           grid_shape, use_gaussian)
         g = jnp.asarray(gaussian)
         for s0 in range(0, D, k):
             chunk = dev_all[s0:s0 + k]
@@ -760,7 +741,9 @@ def _predict_2d_over_3d(apply_fn, params, data: np.ndarray, patch_size,
                 params, chunk, w_inv, g, apply_fn, num_classes, wb,
                 patch_size, grid_shape, mirror_axes, output)
             chunks.append(np.asarray(out[:n_valid]))
-    else:  # irregular 2D grid (odd patch dims): slice-serial scatter core
+    else:
+        # irregular 2D grid (odd patch dims) or a slice too big for one OA
+        # program: slice-serial through _run_core's slab/scatter dispatch
         for d in range(D):
             out = _run_core(apply_fn, params, dev_all[d], prep, patch_size,
                             num_classes, mirror_axes, output, use_gaussian)
@@ -838,29 +821,35 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
     prep0 = prepped[0]
     dtype = jnp.bfloat16 if input_bf16 else np.float32
     stack = np.stack([p[0] for p in prepped]).astype(dtype)
-    # pad the volume batch to a multiple of the device count
-    rem = (-len(stack)) % n_dev
+    # group size for the vmapped OA core: what the caller asked for, clamped
+    # by the OA caps (0/1 -> per-volume lax.map)
+    g_size = min(_vmap_eligible_batch(prep0, patch_size, num_classes,
+                                      mirror_axes, output, volume_batch),
+                 max(1, len(stack) // n_dev)) if volume_batch > 1 else 1
+    # pad the volume batch so every device gets an equal shard that divides
+    # into whole groups
+    unit = n_dev * max(1, g_size)
+    rem = (-len(stack)) % unit
     if rem:
         stack = np.concatenate([stack, np.repeat(stack[:1], rem, axis=0)])
 
-    b_shard = len(stack) // n_dev
-
     def per_device(vols_shard):  # [B/n_dev, *vol, C]
-        # regular grids small enough for the vmapped OA core: batch the
-        # device's whole shard into ONE forward program (same win as
-        # predict_sliding_window_multi's volume_batch); else serialize
-        if (volume_batch > 1 and b_shard > 1
-                and _vmap_eligible_batch(prep0, patch_size, num_classes,
-                                         mirror_axes, output,
-                                         b_shard) >= b_shard):
+        if g_size > 1:
+            # groups of g_size volumes per vmapped OA program (same win as
+            # predict_sliding_window_multi's volume_batch)
             _, _, _, wb0, gaussian0, grid0 = prep0
-            w_inv = (jnp.float32(1.0) if output == "seg" else
-                     jnp.asarray(_weight_inv(tuple(vols_shard.shape[1:-1]),
-                                             patch_size, grid0, True)))
-            return _sliding_window_oa_vmapped(
-                params, vols_shard, w_inv, jnp.asarray(gaussian0), apply_fn,
-                num_classes, wb0, patch_size, grid0, tuple(mirror_axes),
-                output)
+            w_inv = _w_inv_for(output, vols_shard.shape[1:-1], patch_size,
+                               grid0)
+            gauss = jnp.asarray(gaussian0)
+
+            def group(vols_g):
+                return _sliding_window_oa_vmapped(
+                    params, vols_g, w_inv, gauss, apply_fn, num_classes,
+                    wb0, patch_size, grid0, tuple(mirror_axes), output)
+
+            grouped = vols_shard.reshape((-1, g_size) + vols_shard.shape[1:])
+            out = jax.lax.map(group, grouped)
+            return out.reshape((-1,) + out.shape[2:])
 
         def one(v):
             return _run_core(apply_fn, params, v, prep0, patch_size,
@@ -890,22 +879,35 @@ _VMAP_TTA_BATCH_MAX_ELEMS = 64_000_000
 
 def _vmap_eligible_batch(prep, patch_size, num_classes, mirror_axes, output,
                          volume_batch):
-    """Largest volume batch (<= volume_batch) the vmapped OA core can take
-    for this shape under the buffer/program-size caps; 1 disables batching."""
+    """How many volumes ONE vmapped OA program may take for this shape:
+    min(volume_batch, cap quotients).  Returns 0 when even a single volume
+    exceeds the OA buffer/program caps (callers must then fall back to
+    _run_core, whose slab/scatter dispatch handles oversized grids);
+    values <= 1 mean the vmapped core buys nothing for a multi-volume
+    stream."""
     grid_shape = prep[5]
-    if grid_shape is None or volume_batch <= 1:
-        return 1
+    if grid_shape is None:
+        return 0
     n_windows = int(np.prod(grid_shape))
     pvox = int(np.prod(patch_size))
     wb = prep[3]
     per_buf = n_windows * pvox * num_classes * (2 if output == "seg" else 4)
     per_tta = n_windows * pvox * (2 ** len(mirror_axes))
     per_fwd = wb * (2 ** len(mirror_axes)) * pvox
-    if per_buf <= 0 or per_tta <= 0:
-        return 1
-    return int(max(1, min(volume_batch, _OA_BUFFER_CAP_BYTES // per_buf,
-                          _OA_MAX_TTA_WINDOW_VOXELS // per_tta,
-                          _VMAP_TTA_BATCH_MAX_ELEMS // per_fwd)))
+    return int(min(volume_batch, _OA_BUFFER_CAP_BYTES // max(1, per_buf),
+                   _OA_MAX_TTA_WINDOW_VOXELS // max(1, per_tta),
+                   _VMAP_TTA_BATCH_MAX_ELEMS // max(1, per_fwd)))
+
+
+def _w_inv_for(output, vol_shape, patch_size, grid_shape,
+               use_gaussian: bool = True):
+    """The OA cores' weight normalizer: unused by the seg path (argmax is
+    invariant to the positive per-voxel normalization), the host-precomputed
+    constant otherwise.  Single source for the 5 call sites."""
+    if output == "seg":
+        return jnp.float32(1.0)
+    return jnp.asarray(_weight_inv(tuple(vol_shape), tuple(patch_size),
+                                   tuple(grid_shape), use_gaussian))
 
 
 def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
@@ -958,17 +960,19 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
                             num_classes, mirror_axes, output)
             dispatch(([idxs[0]], out, [prep[1]]))
             return
-        dtype = jnp.bfloat16 if input_bf16 else np.float32
-        stack = np.stack([np.pad(a, p[0]) for a, p in zip(arrs, preps)]
-                         ).astype(dtype)
+        # upload each volume through the size-thresholded pad policy, stack
+        # on device; pad partial groups to the shape's full batch (repeat the
+        # last volume — extras never appear in idxs, so fetch ignores them)
+        # so ONE program per bucket shape serves every group length
+        devs = [_to_device_padded(a, p[0], input_bf16)
+                for a, p in zip(arrs, preps)]
+        bmax = _vmap_eligible_batch(preps[0], patch_size, num_classes,
+                                    mirror_axes, output, volume_batch)
+        devs.extend(devs[-1:] * (bmax - len(devs)))
         _, _, _, wb, gaussian, grid_shape = preps[0]
-        if output == "seg":
-            w_inv = jnp.float32(1.0)  # unused by the seg path (argmax)
-        else:
-            w_inv = jnp.asarray(_weight_inv(tuple(stack.shape[1:-1]),
-                                            patch_size, grid_shape, True))
+        w_inv = _w_inv_for(output, devs[0].shape[:-1], patch_size, grid_shape)
         out = _sliding_window_oa_vmapped(
-            params, jnp.asarray(stack), w_inv, jnp.asarray(gaussian),
+            params, jnp.stack(devs), w_inv, jnp.asarray(gaussian),
             apply_fn, num_classes, wb, patch_size, grid_shape,
             tuple(mirror_axes), output)
         dispatch((idxs, out, [p[1] for p in preps]))

@@ -15,8 +15,9 @@ import time
 import numpy as np
 
 wbs = [int(a) for a in sys.argv[1:] if a.isdigit()] or [2, 4]
-if "--pallas" in sys.argv:
-    os.environ["LNN_PALLAS_CONV"] = "1"
+# the fused conv is ON by default since the default flip — force the XLA
+# baseline explicitly when --pallas is absent so both sweep arms are real
+os.environ["LNN_PALLAS_CONV"] = "1" if "--pallas" in sys.argv else "0"
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +53,7 @@ for wb in wbs:
                                             CLASSES, mirror_axes=(0, 1, 2),
                                             window_batch=wb, output="seg")
         dt = (time.perf_counter() - t0) / len(vols)
-        print(f"wb={wb} pallas={os.environ.get('LNN_PALLAS_CONV','0')}: "
+        print(f"wb={wb} pallas={os.environ['LNN_PALLAS_CONV']}: "
               f"{dt:.1f} s/vol ({1/dt:.4f} vol/s), warm pass {warm:.0f}s, "
               f"checksum {int(segs[0].sum())}", flush=True)
     except Exception as e:  # OOM etc.
