@@ -14,6 +14,9 @@ console_scripts = [
     f"nnUNet_train_{ext} = lifelong_nnunet_tpu.run.run_training:main_{ext}"
     for ext in TRAIN_EXTENSIONS
 ] + [
+    # reference console-script name for the frozen-body sequential trainer
+    # (/root/reference/setup.py: nnUNet_train_body_froz -> main_frozen_body_seq)
+    "nnUNet_train_body_froz = lifelong_nnunet_tpu.run.run_training:main_frozen_body_seq",
     "nnUNet_plan_and_preprocess = lifelong_nnunet_tpu.run.plan_and_preprocess:main",
     "nnUNet_evaluate = lifelong_nnunet_tpu.run.run_evaluation:main",
     "nnUNet_evaluate2 = lifelong_nnunet_tpu.run.run_evaluation:main2",
