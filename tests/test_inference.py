@@ -501,3 +501,19 @@ def test_2d_patch_over_3d_volume_matches_per_slice():
                     np.testing.assert_allclose(got[d], ref, atol=2e-5)
                 else:
                     assert (got[d] == ref).mean() > 0.995
+
+
+def test_vmap_eligible_batch_caps():
+    """The vmapped-core eligibility: 0 for irregular or oversized grids
+    (fall back to _run_core), clamped by the caps otherwise."""
+    import lifelong_nnunet_tpu.inference.sliding_window as sw
+    # regular small grid: full requested batch allowed
+    prep = sw._prepare_meta((20, 24, 18), (16, 16, 16), 0.5, 3, True)
+    assert sw._vmap_eligible_batch(prep, (16, 16, 16), 3, (1,), "seg", 4) == 4
+    # irregular grid (odd patch): 0
+    prep_irr = sw._prepare_meta((20, 24, 18), (15, 15, 15), 0.5, 3, True)
+    assert sw._vmap_eligible_batch(prep_irr, (15, 15, 15), 3, (1,), "seg", 4) == 0
+    # CT-scale grid blows the program cap even for ONE volume: 0
+    prep_ct = sw._prepare_meta((384, 384, 192), (128, 128, 128), 0.5, 2, True)
+    assert sw._vmap_eligible_batch(prep_ct, (128, 128, 128), 3, (0, 1, 2),
+                                   "seg", 4) == 0
