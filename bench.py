@@ -1,17 +1,19 @@
-"""Benchmarks. Default (driver contract): ONE JSON line for the primary
-metric — Gaussian sliding-window 3d_fullres inference throughput
+"""Benchmarks. Default workload is ``all`` (driver contract + VERDICT r2 #1):
+three JSON lines — CT-scale sliding window, CT-scale train-step MFU, and the
+primary metric LAST: Gaussian sliding-window 3d_fullres inference throughput
 (volumes/sec/chip) at Task04_Hippocampus scale, BASELINE.json's headline.
 
-Extra workloads (VERDICT r1 #3 — prove perf beyond the easiest geometry):
+Outage hardening (VERDICT r2 weak #1): before any workload, the TPU is probed
+with a subprocess tiny-matmul (90s timeout) and retried with backoff for up to
+--max_wait (default 600s); on final failure each selected metric emits ONE
+parseable JSON line ``{"metric": ..., "error": "tpu_unavailable"}`` and the
+process exits 0 — never a traceback.
 
-  python bench.py --workload ct         # CT-scale sliding window (128^3
-                                        # patch, 512x512x288 volume, config
-                                        # 3/5 analog), one JSON line
+  python bench.py --workload ct         # CT-scale sliding window only (128^3
+                                        # patch, config 3/5 analog)
   python bench.py --workload train_mfu  # one jitted train step at CT scale:
                                         # reports achieved TFLOP/s and MFU
-  python bench.py --workload all        # all three, one JSON line each
-                                        # (primary metric printed LAST so
-                                        # single-line consumers still parse)
+  python bench.py --workload hippocampus  # primary metric only
 
 ``vs_baseline`` compares against the PyTorch reference's estimated A100
 throughput for the same workload (no numbers are checked into the reference
@@ -27,6 +29,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -192,29 +197,95 @@ def _analytic_train_flops(batch: int, patch, pools: int,
     return float(total * 3 * batch)
 
 
+def _probe_tpu_once(timeout_s: int = 90) -> int:
+    """Run the tiny-matmul probe in a SUBPROCESS so a hang at backend init
+    (the documented axon hard-outage mode) can be killed without wedging this
+    process; the killed subprocess releases the single TPU slot. Returns the
+    probe's exit code: 0 healthy, 2 no-TPU-backend (CPU run), else down."""
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "tpu_probe.py")
+    try:
+        r = subprocess.run([sys.executable, probe], timeout=timeout_s,
+                           capture_output=True, text=True)
+        msg = (r.stdout + r.stderr).strip().splitlines()
+        print(f"# probe rc={r.returncode}: {msg[-1] if msg else ''}",
+              file=sys.stderr, flush=True)
+        return r.returncode
+    except subprocess.TimeoutExpired:
+        print("# probe: timeout (hang-at-init outage mode)",
+              file=sys.stderr, flush=True)
+        return 1
+
+
+def wait_for_tpu(max_wait_s: float = 600.0) -> bool:
+    """Bounded probe-and-retry before launching any workload (the chip's
+    known outage modes: fast UNAVAILABLE and hang-at-init; NOTES_ROUND2.md).
+    True = healthy (or CPU backend — nothing to wait for)."""
+    deadline = time.monotonic() + max_wait_s
+    delay = 15.0
+    while True:
+        rc = _probe_tpu_once()
+        if rc in (0, 2):
+            return True
+        if time.monotonic() + delay > deadline:
+            return False
+        print(f"# TPU unavailable; retrying in {delay:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(delay)
+        delay = min(delay * 2, 120.0)
+
+
+WORKLOADS = {
+    # window_batch 2 for CT: at 128^3 the TTA-expanded batch (2*8 windows)
+    # exceeds _TTA_BATCH_MAX_ELEMS, so the mirror variants run as a lax.scan
+    # of batch-2 forwards (see _tta_forward); larger window batches OOM the
+    # first conv stage's activations at this scale
+    "ct": ("sliding_window_3d_fullres_ct128_tta8",
+           lambda: bench_sliding_window(
+               CT, "sliding_window_3d_fullres_ct128_tta8",
+               A100_REFERENCE_CT_VOL_PER_S, window_batch=2)),
+    "train_mfu": ("train_step_ct128_mfu", bench_train_mfu),
+    # primary metric LAST so single-line consumers parse the headline
+    "hippocampus": ("sliding_window_3d_fullres_hippocampus_tta8",
+                    lambda: bench_sliding_window(
+                        HIPPO, "sliding_window_3d_fullres_hippocampus_tta8",
+                        A100_REFERENCE_VOL_PER_S)),
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workload", default="hippocampus",
+    ap.add_argument("--workload", default="all",
                     choices=["hippocampus", "ct", "train_mfu", "all"])
+    ap.add_argument("--max_wait", type=float, default=600.0,
+                    help="max seconds to wait for a healthy TPU before "
+                         "emitting JSON error lines (never a traceback)")
     args = ap.parse_args()
+    names = list(WORKLOADS) if args.workload == "all" else [args.workload]
+
+    if not wait_for_tpu(args.max_wait):
+        for name in names:
+            print(json.dumps({"metric": WORKLOADS[name][0],
+                              "error": "tpu_unavailable"}), flush=True)
+        return
+
     import jax
+    # The axon plugin ignores the JAX_PLATFORMS env var; honor it explicitly
+    # so CPU smoke runs of bench.py don't touch (or hang on) the TPU backend.
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "tpu" not in plat and "axon" not in plat:
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    if args.workload in ("ct", "all"):
-        # window_batch 2: at 128^3 the TTA-expanded batch (2*8 windows)
-        # exceeds _TTA_BATCH_MAX_ELEMS, so the mirror variants run as a
-        # lax.scan of batch-2 forwards (see _tta_forward); larger window
-        # batches OOM the first conv stage's activations at this scale
-        print(json.dumps(bench_sliding_window(
-            CT, "sliding_window_3d_fullres_ct128_tta8",
-            A100_REFERENCE_CT_VOL_PER_S, window_batch=2)), flush=True)
-    if args.workload in ("train_mfu", "all"):
-        print(json.dumps(bench_train_mfu()), flush=True)
-    if args.workload in ("hippocampus", "all"):
-        print(json.dumps(bench_sliding_window(
-            HIPPO, "sliding_window_3d_fullres_hippocampus_tta8",
-            A100_REFERENCE_VOL_PER_S)), flush=True)
+    for name in names:
+        metric, fn = WORKLOADS[name]
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # noqa: BLE001 — one parseable line per metric
+            err = f"{type(e).__name__}: {e}"
+            print(json.dumps({"metric": metric,
+                              "error": err[:200]}), flush=True)
 
 
 if __name__ == "__main__":
