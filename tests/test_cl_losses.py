@@ -77,24 +77,28 @@ def test_lwf_zero_when_equal():
     assert float(lwf_distill_loss([logits], [other])) > 1e-3
 
 
-def test_unbiased_ce_reduces_to_ce_without_new_classes():
-    """With old_num_classes == num_classes there are no new classes, so the
-    unbiased CE must equal plain CE."""
+def test_unbiased_ce_reduces_to_ce_with_old_eq_1():
+    """With old_num_classes == 1 only the background absorbs itself, so the
+    unbiased CE must equal plain CE (reference crossentropy.py:25-45)."""
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.normal(size=(2, 4, 4, 3)).astype(np.float32))
     target = jnp.asarray(rng.randint(0, 3, size=(2, 4, 4)))
     from lifelong_nnunet_tpu.ops.losses import cross_entropy_loss
-    ub = float(unbiased_cross_entropy(logits, target, old_num_classes=3))
+    ub = float(unbiased_cross_entropy(logits, target, old_num_classes=1))
     ce = float(cross_entropy_loss(logits, target))
     np.testing.assert_allclose(ub, ce, rtol=1e-5)
 
 
-def test_unbiased_ce_folds_new_classes():
-    """Background target must not be punished for mass on new classes."""
-    logits = jnp.array([[[-10.0, -10.0, 100.0]]])  # all mass on NEW class 2
+def test_unbiased_ce_folds_old_classes():
+    """Background target must not be punished for mass on OLD classes —
+    old structures are annotated background on a new task (MiB)."""
+    logits = jnp.array([[[-10.0, 100.0, -10.0]]])  # all mass on OLD class 1
     target = jnp.array([[0]])
     v = float(unbiased_cross_entropy(logits, target, old_num_classes=2))
-    assert v < 1e-3  # p(bg ∪ new) ≈ 1
+    assert v < 1e-3  # p(bg ∪ old) ≈ 1
+    # mass on a NEW class where the label says background IS punished
+    logits_new = jnp.array([[[-10.0, -10.0, 100.0]]])
+    assert float(unbiased_cross_entropy(logits_new, target, old_num_classes=2)) > 10
 
 
 def test_unbiased_kd_perfect_match():
@@ -105,9 +109,10 @@ def test_unbiased_kd_perfect_match():
     v_same = float(unbiased_kd_loss(teacher, teacher, old_num_classes=3, alpha=1.0))
     v_diff = float(unbiased_kd_loss(teacher + 5 * jnp.asarray(rng.normal(size=t.shape).astype(np.float32)),
                                     teacher, old_num_classes=3, alpha=1.0))
-    # matching student attains the entropy lower bound; mismatching is higher
+    # matching student attains the entropy lower bound (scaled by the
+    # reference's 1/teacher-channel-count); mismatching is higher
     probs = jax.nn.softmax(teacher, axis=-1)
-    ent = float(-jnp.mean(jnp.sum(probs * jax.nn.log_softmax(teacher, -1), axis=-1)))
+    ent = float(-jnp.mean(jnp.sum(probs * jax.nn.log_softmax(teacher, -1), axis=-1))) / 3
     np.testing.assert_allclose(v_same, ent, rtol=1e-5)
     assert v_diff > v_same
 
@@ -122,9 +127,10 @@ def test_mib_loss_runs():
 
 
 def test_entropy_bounds():
+    # the reference's entropy takes the channel MEAN, so uniform -> 1/C
     uniform = jnp.ones((1, 4)) / 4
     peaked = jnp.array([[1.0, 0.0, 0.0, 0.0]])
-    np.testing.assert_allclose(float(entropy(uniform)[0]), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(float(entropy(uniform)[0]), 0.25, rtol=1e-4)
     assert float(entropy(peaked)[0]) < 1e-4
 
 
@@ -152,7 +158,9 @@ def test_plop_pseudo_targets():
     # teacher confidently predicts class 1 everywhere
     tl = jnp.zeros((1, 2, 2, 3)).at[..., 1].set(50.0)
     target = jnp.array([[[0, 0], [2, 0]]])
-    thr = jnp.array([0.5, 0.5, 0.5])
+    # confidence statistic range is [0, 1/(C·log C)] ≈ [0, 0.303] for C=3:
+    # a peaked teacher sits near 0, a uniform one at the top of the range
+    thr = jnp.array([0.15, 0.15, 0.15])
     pseudo, factor = plop_pseudo_targets(target, tl, thr, 3)
     # bg voxels adopt teacher label 1; non-bg target kept
     assert pseudo[0, 0, 0] == 1 and pseudo[0, 1, 0] == 2
