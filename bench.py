@@ -80,7 +80,8 @@ def _make_model(classes: int, pools: int, dtype, inference: bool = False):
     return maybe_pallas_conv(model) if inference else model
 
 
-def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8):
+def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8,
+                         volume_batch: int = 1):
     import jax
     import jax.numpy as jnp
     from lifelong_nnunet_tpu.inference.sliding_window import (
@@ -101,7 +102,8 @@ def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8)
     def run(stream):
         return predict_sliding_window_multi(
             apply_fn, params, stream, cfg["patch"], cfg["classes"],
-            mirror_axes=(0, 1, 2), window_batch=window_batch, output="seg")
+            mirror_axes=(0, 1, 2), window_batch=window_batch, output="seg",
+            volume_batch=volume_batch)
 
     run(vols[:cfg["warmup"]])
     # median of 3 timed passes: run-to-run variance on the shared axon relay
@@ -245,11 +247,15 @@ WORKLOADS = {
                CT, "sliding_window_3d_fullres_ct128_tta8",
                A100_REFERENCE_CT_VOL_PER_S, window_batch=2)),
     "train_mfu": ("train_step_ct128_mfu", bench_train_mfu),
-    # primary metric LAST so single-line consumers parse the headline
+    # primary metric LAST so single-line consumers parse the headline.
+    # volume_batch 8: the vmapped OA core groups 8 same-bucket volumes per
+    # dispatch — measured 14.2-15.7 vol/s vs ~10 at vb=1 (per-dispatch host
+    # relay overhead on top of the 47.2 ms device program; see RESULTS.md
+    # round-3 stream A/B)
     "hippocampus": ("sliding_window_3d_fullres_hippocampus_tta8",
                     lambda: bench_sliding_window(
                         HIPPO, "sliding_window_3d_fullres_hippocampus_tta8",
-                        A100_REFERENCE_VOL_PER_S)),
+                        A100_REFERENCE_VOL_PER_S, volume_batch=8)),
 }
 
 
