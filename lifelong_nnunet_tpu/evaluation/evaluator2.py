@@ -19,29 +19,31 @@ import numpy as np
 from ..evaluation.metrics import subject_metrics
 from ..inference.predict import predict_from_folder
 from ..training.restore import restore_trainer
-from ..utilities.nifti import read as nifti_read
+from ..utilities.imageio import READABLE_SUFFIXES, image_suffix, read_image
 
 
 def compute_scores_and_build_dict(pred_folder: str, labels_folder: str,
                                   num_classes: int) -> dict:
     """Per-case per-class Dice/IoU between predicted and GT segmentations
-    (reference evaluator2.py:60-109, sklearn confusion matrix there; direct
-    counting here)."""
+    (reference evaluator2.py:60-109; reads any supported image format like
+    the reference's ``sitk.ReadImage`` at :86 — sklearn confusion matrix
+    there; direct counting here)."""
     out = {}
     for f in sorted(os.listdir(pred_folder)):
-        if not f.endswith((".nii", ".nii.gz")):
+        suf = image_suffix(f)
+        if suf is None:
             continue
-        case = f[:-7] if f.endswith(".nii.gz") else f[:-4]
+        case = f[: -len(suf)]
         gt_path = None
-        for ext in (".nii.gz", ".nii"):
+        for ext in READABLE_SUFFIXES:
             p = os.path.join(labels_folder, case + ext)
             if os.path.isfile(p):
                 gt_path = p
                 break
         if gt_path is None:
             continue
-        pred = np.asarray(nifti_read(os.path.join(pred_folder, f)).data).astype(np.int32)
-        gt = np.asarray(nifti_read(gt_path).data).astype(np.int32)
+        pred = np.asarray(read_image(os.path.join(pred_folder, f)).data).astype(np.int32)
+        gt = np.asarray(read_image(gt_path).data).astype(np.int32)
         out[case] = subject_metrics(pred, gt, num_classes)
     return out
 

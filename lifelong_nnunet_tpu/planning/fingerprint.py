@@ -22,15 +22,16 @@ from collections import defaultdict
 
 import numpy as np
 
-from ..utilities.nifti import read as nifti_read
+from ..utilities.imageio import (READABLE_SUFFIXES, image_suffix,
+                                 read_image)
 
 
 def list_cases(task_dir: str) -> list[str]:
     labels_dir = os.path.join(task_dir, "labelsTr")
     cases = sorted(
-        f[: -len(".nii.gz")] if f.endswith(".nii.gz") else f[: -len(".nii")]
+        f[: -len(image_suffix(f))]
         for f in os.listdir(labels_dir)
-        if f.endswith((".nii", ".nii.gz")) and not f.startswith(".")
+        if image_suffix(f) and not f.startswith(".")
     )
     return cases
 
@@ -41,14 +42,14 @@ def case_image_files(task_dir: str, case: str, num_modalities: int) -> list[str]
     images_dir = os.path.join(task_dir, "imagesTr")
     files = []
     for m in range(num_modalities):
-        for ext in (".nii.gz", ".nii"):
+        for ext in READABLE_SUFFIXES:
             p = os.path.join(images_dir, f"{case}_{m:04d}{ext}")
             if os.path.isfile(p):
                 files.append(p)
                 break
     if len(files) == num_modalities:
         return files
-    for ext in (".nii.gz", ".nii"):
+    for ext in READABLE_SUFFIXES:
         p = os.path.join(images_dir, f"{case}{ext}")
         if os.path.isfile(p):
             return [p]
@@ -58,7 +59,7 @@ def case_image_files(task_dir: str, case: str, num_modalities: int) -> list[str]
 def load_case(task_dir: str, case: str, num_modalities: int):
     """Returns (data [C, X, Y, Z] float32, seg [X, Y, Z] int8 or None, spacing, affine)."""
     files = case_image_files(task_dir, case, num_modalities)
-    imgs = [nifti_read(f) for f in files]
+    imgs = [read_image(f) for f in files]
     vols = []
     for img in imgs:
         d = np.asarray(img.data)
@@ -69,10 +70,10 @@ def load_case(task_dir: str, case: str, num_modalities: int):
             vols.append(d.astype(np.float32))
     data = np.stack(vols, axis=0)
     seg = None
-    for ext in (".nii.gz", ".nii"):
+    for ext in READABLE_SUFFIXES:
         p = os.path.join(task_dir, "labelsTr", f"{case}{ext}")
         if os.path.isfile(p):
-            seg = np.asarray(nifti_read(p).data).astype(np.int8)
+            seg = np.asarray(read_image(p).data).astype(np.int8)
             break
     return data, seg, tuple(imgs[0].spacing), imgs[0].affine
 

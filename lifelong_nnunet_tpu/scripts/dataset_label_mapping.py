@@ -19,7 +19,8 @@ import shutil
 import numpy as np
 
 from .. import paths
-from ..utilities.nifti import NiftiImage, read as nifti_read, write as nifti_write
+from ..utilities.imageio import image_suffix, read_image, write_image
+from ..utilities.nifti import NiftiImage
 
 
 def select_channel(img_4d: np.ndarray, channel: int) -> np.ndarray:
@@ -56,24 +57,24 @@ def split_4d(task_dir: str, out_dir: str):
             continue
         os.makedirs(dst, exist_ok=True)
         for f in sorted(os.listdir(src)):
-            if not f.endswith((".nii", ".nii.gz")) or f.startswith("."):
+            if not image_suffix(f) or f.startswith("."):
                 continue
-            base = f[:-7] if f.endswith(".nii.gz") else f[:-4]
-            img = nifti_read(os.path.join(src, f))
+            base = f[: -len(image_suffix(f))]
+            img = read_image(os.path.join(src, f))
             data = np.asarray(img.data)
             if data.ndim == 4:
                 for c in range(data.shape[3]):
-                    nifti_write(os.path.join(dst, f"{base}_{c:04d}.nii.gz"),
+                    write_image(os.path.join(dst, f"{base}_{c:04d}.nii.gz"),
                                 NiftiImage(np.ascontiguousarray(data[..., c]),
                                            img.spacing, img.affine))
             else:
-                nifti_write(os.path.join(dst, f"{base}_0000.nii.gz"), img)
+                write_image(os.path.join(dst, f"{base}_0000.nii.gz"), img)
     lsrc = os.path.join(task_dir, "labelsTr")
     ldst = os.path.join(out_dir, "labelsTr")
     if os.path.isdir(lsrc):
         os.makedirs(ldst, exist_ok=True)
         for f in os.listdir(lsrc):
-            if f.endswith((".nii", ".nii.gz")):
+            if image_suffix(f):
                 shutil.copy(os.path.join(lsrc, f), os.path.join(ldst, f))
     dj = os.path.join(task_dir, "dataset.json")
     if os.path.isfile(dj):
@@ -95,10 +96,10 @@ def convert_task(src_task_dir: str, dst_task_dir: str, mapping: dict | None = No
     lab_dir = os.path.join(dst_task_dir, "labelsTr")
     if mapping or joined_labels:
         for f in os.listdir(lab_dir):
-            if not f.endswith((".nii", ".nii.gz")):
+            if not image_suffix(f):
                 continue
             p = os.path.join(lab_dir, f)
-            img = nifti_read(p)
+            img = read_image(p)
             seg = np.asarray(img.data).astype(np.int16)
             if joined_labels:
                 new = np.zeros_like(seg)
@@ -107,7 +108,7 @@ def convert_task(src_task_dir: str, dst_task_dir: str, mapping: dict | None = No
                 seg = new
             else:
                 seg = apply_label_mapping(seg, mapping)
-            nifti_write(p, NiftiImage(seg.astype(np.uint8), img.spacing, img.affine))
+            write_image(p, NiftiImage(seg.astype(np.uint8), img.spacing, img.affine))
     dj_path = os.path.join(dst_task_dir, "dataset.json")
     if os.path.isfile(dj_path):
         with open(dj_path) as f:

@@ -60,28 +60,34 @@ def read(path: str) -> NiftiImage:
     with opener(path, "rb") as f:
         raw = f.read()
     hdr = raw[:348]
-    sizeof_hdr = struct.unpack_from("<i", hdr, 0)[0]
-    if sizeof_hdr != 348:
-        # try big-endian
-        if struct.unpack_from(">i", hdr, 0)[0] == 348:
-            raise NotImplementedError("big-endian NIfTI not supported")
+    # endianness is signalled by which byte order makes sizeof_hdr read 348
+    # (nifti1.h convention; the reference reads these via SimpleITK which
+    # handles both — evaluator2.py:86)
+    if struct.unpack_from("<i", hdr, 0)[0] == 348:
+        eo = "<"
+    elif struct.unpack_from(">i", hdr, 0)[0] == 348:
+        eo = ">"
+    else:
+        sizeof_hdr = struct.unpack_from("<i", hdr, 0)[0]
         raise ValueError(f"{path}: not a NIfTI-1 file (sizeof_hdr={sizeof_hdr})")
-    dim = struct.unpack_from("<8h", hdr, 40)
+    dim = struct.unpack_from(f"{eo}8h", hdr, 40)
     ndim = dim[0]
     shape = tuple(int(d) for d in dim[1 : 1 + ndim])
-    datatype = struct.unpack_from("<h", hdr, 70)[0]
-    pixdim = struct.unpack_from("<8f", hdr, 76)
-    vox_offset = int(struct.unpack_from("<f", hdr, 108)[0])
-    scl_slope = struct.unpack_from("<f", hdr, 112)[0]
-    scl_inter = struct.unpack_from("<f", hdr, 116)[0]
-    qform_code = struct.unpack_from("<h", hdr, 252)[0]
-    sform_code = struct.unpack_from("<h", hdr, 254)[0]
+    datatype = struct.unpack_from(f"{eo}h", hdr, 70)[0]
+    pixdim = struct.unpack_from(f"{eo}8f", hdr, 76)
+    vox_offset = int(struct.unpack_from(f"{eo}f", hdr, 108)[0])
+    scl_slope = struct.unpack_from(f"{eo}f", hdr, 112)[0]
+    scl_inter = struct.unpack_from(f"{eo}f", hdr, 116)[0]
+    qform_code = struct.unpack_from(f"{eo}h", hdr, 252)[0]
+    sform_code = struct.unpack_from(f"{eo}h", hdr, 254)[0]
 
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
-    dtype = np.dtype(_DTYPES[datatype])
+    dtype = np.dtype(_DTYPES[datatype]).newbyteorder(eo)
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=vox_offset)
+    if eo == ">":  # native little-endian arrays downstream
+        data = data.astype(data.dtype.newbyteorder("<"))
     # NIfTI stores Fortran order: first axis fastest.
     data = data.reshape(shape[::-1]).transpose(tuple(range(len(shape)))[::-1])
     if scl_slope not in (0.0, 1.0) or scl_inter not in (0.0,):
@@ -93,13 +99,13 @@ def read(path: str) -> NiftiImage:
 
     affine = np.eye(4)
     if sform_code > 0:
-        srow_x = struct.unpack_from("<4f", hdr, 280)
-        srow_y = struct.unpack_from("<4f", hdr, 296)
-        srow_z = struct.unpack_from("<4f", hdr, 312)
+        srow_x = struct.unpack_from(f"{eo}4f", hdr, 280)
+        srow_y = struct.unpack_from(f"{eo}4f", hdr, 296)
+        srow_z = struct.unpack_from(f"{eo}4f", hdr, 312)
         affine = np.array([srow_x, srow_y, srow_z, [0, 0, 0, 1]], dtype=np.float64)
     elif qform_code > 0:
-        b, c, d = struct.unpack_from("<3f", hdr, 256)
-        qx, qy, qz = struct.unpack_from("<3f", hdr, 268)
+        b, c, d = struct.unpack_from(f"{eo}3f", hdr, 256)
+        qx, qy, qz = struct.unpack_from(f"{eo}3f", hdr, 268)
         rot = _quaternion_to_rotation(b, c, d)
         qfac = pixdim[0] if pixdim[0] != 0 else 1.0
         scales = np.array([pixdim[1], pixdim[2], pixdim[3] * qfac])
