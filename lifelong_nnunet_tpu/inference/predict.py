@@ -23,14 +23,15 @@ from scipy import ndimage
 
 from ..planning.fingerprint import crop_to_nonzero
 from ..planning.preprocess import normalize, resample_image
-from ..utilities.nifti import NiftiImage, read as nifti_read, write as nifti_write
+from ..utilities.imageio import image_suffix, read_image, write_image
+from ..utilities.nifti import NiftiImage
 from .sliding_window import predict_sliding_window
 
 
 def preprocess_for_inference(image_files: list, plans, config_name: str):
     """Load + crop + resample + normalize one case. Returns (data [*sp, C]
     channels-last float32, props dict needed to undo)."""
-    imgs = [nifti_read(f) for f in image_files]
+    imgs = [read_image(f) for f in image_files]
     vols = []
     for img in imgs:
         d = np.asarray(img.data)
@@ -128,6 +129,13 @@ def predict_case(apply_fn, params_per_fold: list, image_files: list, plans,
             output="probs_bf16")
         probs = p if probs is None else probs + p
     probs = probs / len(params_per_fold)
+    return finalize_case(probs, props, postprocess_labels)
+
+
+def finalize_case(probs: np.ndarray, props: dict, postprocess_labels=None):
+    """Fold-ensembled softmax [*resampled, K] -> (seg, full softmax, props):
+    undo resampling/crop/transpose, argmax, optional CC postprocessing.
+    Shared tail of the per-case and volume-batched drivers."""
     full = restore_softmax(probs, props)
     seg = np.argmax(full, axis=-1).astype(np.uint8)
     if postprocess_labels is not None:
@@ -136,7 +144,7 @@ def predict_case(apply_fn, params_per_fold: list, image_files: list, plans,
 
 
 def export_segmentation(seg: np.ndarray, props: dict, out_file: str):
-    nifti_write(out_file, NiftiImage(seg.astype(np.uint8),
+    write_image(out_file, NiftiImage(seg.astype(np.uint8),
                                      spacing=tuple(props["original_spacing"]),
                                      affine=np.asarray(props["affine"])))
 
@@ -145,7 +153,8 @@ def predict_from_folder(apply_fn, params_per_fold: list, plans, config_name: str
                         input_folder: str, output_folder: str,
                         num_modalities: int | None = None, do_tta: bool = True,
                         window_batch: int = 4, postprocess_labels=None,
-                        io_workers: int = 2, lookahead: int = 2) -> list:
+                        io_workers: int = 2, lookahead: int = 2,
+                        volume_batch: int = 8) -> list:
     """Predict every case in a folder of ``<case>_0000.nii.gz``-style images
     (reference ``predict_from_folder``, ``inference/predict.py:324-401``).
 
@@ -154,13 +163,20 @@ def predict_from_folder(apply_fn, params_per_fold: list, plans, config_name: str
     latency approaches max(preprocess, device, export) instead of their sum
     (the reference's multiprocess preprocessing queue + export pool,
     ``inference/predict.py:23-114,255-259``; threads suffice here because the
-    heavy host work is numpy/scipy which releases the GIL)."""
+    heavy host work is numpy/scipy which releases the GIL).
+
+    ``volume_batch > 1`` routes device inference through the volume-batched
+    sliding-window stream: same-bucket-shape cases share one vmapped
+    overlap-add program, amortizing the per-dispatch host relay cost
+    (measured 14-16 vol/s vs 10 at vb=1 on hippocampus-scale volumes —
+    RESULTS.md round-3 stream A/B).  Oversized grids (CT-scale) fall back to
+    per-volume dispatch inside the stream, so memory stays bounded."""
     os.makedirs(output_folder, exist_ok=True)
     num_modalities = num_modalities or plans.num_modalities
-    files = sorted(f for f in os.listdir(input_folder) if f.endswith((".nii", ".nii.gz")))
+    files = sorted(f for f in os.listdir(input_folder) if image_suffix(f))
     cases: dict = {}
     for f in files:
-        base = f[:-7] if f.endswith(".nii.gz") else f[:-4]
+        base = f[: -len(image_suffix(f))]
         case = base[:-5] if len(base) > 5 and base[-5] == "_" and base[-4:].isdigit() else base
         cases.setdefault(case, []).append(os.path.join(input_folder, f))
     ordered = sorted(cases.items())
@@ -174,16 +190,51 @@ def predict_from_folder(apply_fn, params_per_fold: list, plans, config_name: str
         for i in range(lookahead + 1):
             submit_prep(i)
         exports = []
-        for i, (case, imgs) in enumerate(ordered):
-            pre = prep.pop(i).result()
-            submit_prep(i + lookahead + 1)
-            seg, _, props = predict_case(
-                apply_fn, params_per_fold, sorted(imgs), plans, config_name,
-                do_tta=do_tta, window_batch=window_batch,
-                postprocess_labels=postprocess_labels, preprocessed=pre)
+
+        def case_out(case):
             out_file = os.path.join(output_folder, f"{case}.nii.gz")
-            exports.append(pool.submit(export_segmentation, seg, props, out_file))
             written.append(out_file)
+            return out_file
+
+        if volume_batch > 1:
+            # chunked volume-batched driver: the chunk bounds host memory
+            # (chunk preprocessed volumes + their softmax resident at once)
+            from .sliding_window import predict_sliding_window_multi
+            cfg = plans.config(config_name)
+            num_classes = plans.num_classes + 1
+            chunk_n = max(2 * volume_batch, 2)
+            i = 0
+            while i < len(ordered):
+                chunk = ordered[i:i + chunk_n]
+                pres = []
+                for j in range(len(chunk)):
+                    pres.append(prep.pop(i + j).result())
+                    submit_prep(i + j + lookahead + 1)
+                datas = [p[0] for p in pres]
+                probs = None
+                for params in params_per_fold:
+                    ps = predict_sliding_window_multi(
+                        apply_fn, params, datas, cfg.patch_size, num_classes,
+                        mirror_axes=(0, 1, 2) if do_tta else (),
+                        window_batch=window_batch, output="probs_bf16",
+                        volume_batch=volume_batch)
+                    probs = ps if probs is None else [a + b for a, b in zip(probs, ps)]
+                for (case, _), p, (_, props) in zip(chunk, probs, pres):
+                    seg, _, props = finalize_case(
+                        p / len(params_per_fold), props, postprocess_labels)
+                    exports.append(pool.submit(export_segmentation, seg, props,
+                                               case_out(case)))
+                i += len(chunk)
+        else:
+            for i, (case, imgs) in enumerate(ordered):
+                pre = prep.pop(i).result()
+                submit_prep(i + lookahead + 1)
+                seg, _, props = predict_case(
+                    apply_fn, params_per_fold, sorted(imgs), plans, config_name,
+                    do_tta=do_tta, window_batch=window_batch,
+                    postprocess_labels=postprocess_labels, preprocessed=pre)
+                exports.append(pool.submit(export_segmentation, seg, props,
+                                           case_out(case)))
         for f in exports:
             f.result()
     return written

@@ -22,6 +22,7 @@ TPU-first design:
 from __future__ import annotations
 
 import itertools
+import os
 from functools import partial
 
 import jax
@@ -52,7 +53,43 @@ def _cached_grid(image_size: tuple, patch_size: tuple, step_fraction: float,
     return origins, wb, valid
 
 
-@lru_cache(maxsize=8)
+class _ByteBoundedCache:
+    """LRU cache bounded by TOTAL VALUE BYTES, not entry count: one CT-scale
+    f32 weight map is ~300 MB, so 8 cached entries could pin ~2.4 GB on the
+    single-CPU relay host (whose throughput halves under host memory
+    pressure).  The newest entry is always kept, even if it alone exceeds
+    the cap.  Cap override: ``LNN_WINV_CACHE_MB`` (default 512)."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._d = {}          # key -> np.ndarray; dict preserves insert order
+        self.total_bytes = 0
+
+    def get(self, key):
+        val = self._d.get(key)
+        if val is not None:  # refresh recency
+            del self._d[key]
+            self._d[key] = val
+        return val
+
+    def put(self, key, val: np.ndarray):
+        if key in self._d:
+            self.total_bytes -= self._d.pop(key).nbytes
+        self._d[key] = val
+        self.total_bytes += val.nbytes
+        while self.total_bytes > self.max_bytes and len(self._d) > 1:
+            oldest_key = next(iter(self._d))
+            self.total_bytes -= self._d.pop(oldest_key).nbytes
+
+    def clear(self):
+        self._d.clear()
+        self.total_bytes = 0
+
+
+_WINV_CACHE = _ByteBoundedCache(
+    int(os.environ.get("LNN_WINV_CACHE_MB", "512")) * (1 << 20))
+
+
 def _weight_inv(vol_shape: tuple, patch_size: tuple, grid_shape: tuple,
                 use_gaussian: bool) -> np.ndarray:
     """1 / (summed per-window importance) for a REGULAR half-patch-stride grid.
@@ -65,8 +102,12 @@ def _weight_inv(vol_shape: tuple, patch_size: tuple, grid_shape: tuple,
     AXIS (shifts along different axes commute): axis a replaces extent p_a by
     the full volume extent via grid_shape[a] shifted adds.  That is
     O(Σ_a n_a · partial-volume) instead of O(Π_a n_a · patch) — ~12x fewer
-    element-adds at CT scale (512³-class volumes), in f32 (cache kept small:
-    a full CT-scale f32 map is ~300 MB)."""
+    element-adds at CT scale (512³-class volumes), in f32.  Cached in a
+    byte-bounded LRU (see :class:`_ByteBoundedCache`)."""
+    key = (vol_shape, patch_size, grid_shape, use_gaussian)
+    cached = _WINV_CACHE.get(key)
+    if cached is not None:
+        return cached
     g = (gaussian_importance_map(patch_size) if use_gaussian
          else np.ones(patch_size, np.float32))
     steps = tuple(p // 2 for p in patch_size)
@@ -81,7 +122,9 @@ def _weight_inv(vol_shape: tuple, patch_size: tuple, grid_shape: tuple,
             sl[a] = slice(i * steps[a], i * steps[a] + patch_size[a])
             out[tuple(sl)] += w
         w = out
-    return 1.0 / w
+    result = 1.0 / w
+    _WINV_CACHE.put(key, result)
+    return result
 
 
 def compute_steps(image_size, patch_size, step_fraction: float = 0.5) -> list:
@@ -790,6 +833,15 @@ def predict_sliding_window(apply_fn, params, data: np.ndarray, patch_size,
     return out[undo]
 
 
+def _shard_pad(n_volumes: int, n_dev: int, g_size: int) -> int:
+    """Number of duplicate volumes appended so the batch splits into EQUAL
+    per-device shards of WHOLE volume groups: the minimal pad to a multiple
+    of n_dev * max(1, g_size).  Equal shards ⇒ every device executes the
+    same number of identical volume programs (work balance)."""
+    unit = n_dev * max(1, g_size)
+    return (-n_volumes) % unit
+
+
 def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
                                    num_classes: int, mesh=None,
                                    mirror_axes=(0, 1, 2),
@@ -827,9 +879,10 @@ def predict_sliding_window_sharded(apply_fn, params, volumes: list, patch_size,
                                       mirror_axes, output, volume_batch),
                  max(1, len(stack) // n_dev)) if volume_batch > 1 else 1
     # pad the volume batch so every device gets an equal shard that divides
-    # into whole groups
-    unit = n_dev * max(1, g_size)
-    rem = (-len(stack)) % unit
+    # into whole groups — per-device work is balanced by construction
+    # (equal volume counts x identical per-volume programs), which is the
+    # correctness-side basis for the linear-scaling model in RESULTS.md
+    rem = _shard_pad(len(stack), n_dev, g_size)
     if rem:
         stack = np.concatenate([stack, np.repeat(stack[:1], rem, axis=0)])
 
@@ -983,6 +1036,14 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
 
     for i, v in enumerate(volumes):
         v = np.asarray(v)
+        if v.ndim - 1 == len(patch_size) + 1:  # 2D net on a 3D volume
+            flush_group()
+            results[i] = predict_sliding_window(
+                apply_fn, params, v, patch_size, num_classes,
+                mirror_axes=mirror_axes, step_fraction=step_fraction,
+                window_batch=window_batch, output=output,
+                input_bf16=input_bf16)
+            continue
         prep = _prepare_meta(tuple(v.shape[:-1]), patch_size, step_fraction,
                              window_batch, True)
         bmax = _vmap_eligible_batch(prep, patch_size, num_classes,
