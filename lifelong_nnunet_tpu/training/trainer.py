@@ -374,6 +374,9 @@ class MultiHeadTrainer:
             "hyperparams": {k: str(v) for k, v in self.hyperparams.items()},
         })
         self.already_trained_on[str(self.opts.fold)].update(kv)
+        import jax
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return  # multi-host: host 0 owns the shared metadata file
         with open(self._trained_on_path(), "w") as f:
             json.dump(self.already_trained_on, f, indent=2)
 
@@ -571,6 +574,12 @@ class MultiHeadTrainer:
 
     # -------------------------------------------------------------- checkpoints
     def save_checkpoint(self, name: str):
+        import jax
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-host: exactly ONE process writes (params are replicated
+            # or fully addressable on host 0; concurrent writers would race
+            # on the same files of a shared results folder)
+            return
         from dataclasses import asdict
         manifest = {
             "plans": asdict(self.plans),
