@@ -1013,19 +1013,29 @@ def predict_sliding_window_multi(apply_fn, params, volumes: list, patch_size,
                             num_classes, mirror_axes, output)
             dispatch(([idxs[0]], out, [prep[1]]))
             return
-        # upload each volume through the size-thresholded pad policy, stack
-        # on device; pad partial groups to the shape's full batch (repeat the
-        # last volume — extras never appear in idxs, so fetch ignores them)
-        # so ONE program per bucket shape serves every group length
-        devs = [_to_device_padded(a, p[0], input_bf16)
-                for a, p in zip(arrs, preps)]
+        # pad partial groups to the shape's full batch (repeat the last
+        # volume — extras never appear in idxs, so fetch ignores them) so ONE
+        # program per bucket shape serves every group length
         bmax = _vmap_eligible_batch(preps[0], patch_size, num_classes,
                                     mirror_axes, output, volume_batch)
-        devs.extend(devs[-1:] * (bmax - len(devs)))
+        if (all(a.nbytes <= _HOST_PAD_MAX_BYTES for a in arrs)
+                and os.environ.get("LNN_HOST_STACK", "1") != "0"):
+            # ONE stacked upload for small volumes: per-volume device_puts
+            # each pay the relay's per-RPC latency (the dominant residual in
+            # the round-3 stream profile); these volumes host-pad anyway
+            host = [np.pad(a, p[0]) for a, p in zip(arrs, preps)]
+            host.extend(host[-1:] * (bmax - len(host)))
+            stacked = jnp.asarray(np.stack(host).astype(
+                jnp.bfloat16 if input_bf16 else np.float32))
+        else:
+            devs = [_to_device_padded(a, p[0], input_bf16)
+                    for a, p in zip(arrs, preps)]
+            devs.extend(devs[-1:] * (bmax - len(devs)))
+            stacked = jnp.stack(devs)
         _, _, _, wb, gaussian, grid_shape = preps[0]
-        w_inv = _w_inv_for(output, devs[0].shape[:-1], patch_size, grid_shape)
+        w_inv = _w_inv_for(output, stacked.shape[1:-1], patch_size, grid_shape)
         out = _sliding_window_oa_vmapped(
-            params, jnp.stack(devs), w_inv, jnp.asarray(gaussian),
+            params, stacked, w_inv, jnp.asarray(gaussian),
             apply_fn, num_classes, wb, patch_size, grid_shape,
             tuple(mirror_axes), output)
         dispatch((idxs, out, [p[1] for p in preps]))

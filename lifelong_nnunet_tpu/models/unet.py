@@ -86,6 +86,29 @@ class _INParams(nn.Module):
         return s, b
 
 
+def _int8_conv(x, w, stride):
+    """Dynamically-quantized int8 conv whose output feeds InstanceNorm.
+
+    Symmetric per-tensor activation scale + per-output-channel weight scale.
+    Because InstanceNorm follows, NO dequantization is needed: a per-channel
+    multiplicative factor and the conv bias are both exactly absorbed by the
+    normalization (IN(a_c·y_c + b_c) = IN(y_c)), so the int32 accumulator is
+    handed to IN directly and the only inexactness is the 8-bit rounding of
+    x and w.  SAME zero-padding is exact under symmetric quantization.
+    v5e int8 peak is 2x bf16; measured wins at C>=64 (RESULTS.md)."""
+    xf = x.astype(jnp.float32)
+    ax = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12)
+    xq = jnp.clip(jnp.round(xf * (127.0 / ax)), -127, 127).astype(jnp.int8)
+    wf = w.astype(jnp.float32)
+    aw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2, 3), keepdims=True),
+                     1e-12)
+    wq = jnp.clip(jnp.round(wf * (127.0 / aw)), -127, 127).astype(jnp.int8)
+    return jax.lax.conv_general_dilated(
+        xq, wq, window_strides=tuple(stride), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.int32)
+
+
 class ConvNormAct(nn.Module):
     """conv → InstanceNorm → LeakyReLU(0.01): the upstream
     ``ConvDropoutNormNonlin`` with dropout p=0 (nnU-Net default).
@@ -97,16 +120,29 @@ class ConvNormAct(nn.Module):
     kernel for dx). The parameter tree is identical either way (see
     _ConvParams/_INParams), so checkpoints are flag-agnostic. NOTE: the
     pallas path ignores the conv bias param (exact: IN absorbs it), so its
-    gradient is zero there — fine for training from scratch with IN."""
+    gradient is zero there — fine for training from scratch with IN.
+
+    ``int8_min_ch=N`` (inference-only) additionally routes stages with
+    min(Cin, Cout) >= N through a dynamically-quantized int8 conv (see
+    _int8_conv) — the mixed-precision path VERDICT r2 #4 asks to probe.
+    Checked before the Pallas route so the two compose per-stage: int8 for
+    the wide stages, the fused bf16 kernel for eligible narrow ones."""
     features: int
     kernel: Sequence[int]
     stride: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     negative_slope: float = 0.01
     pallas_conv: bool = False
+    int8_min_ch: int = 0
 
     @nn.compact
     def __call__(self, x):
+        if self._use_int8(x):
+            kshape = tuple(self.kernel) + (x.shape[-1], self.features)
+            w = _ConvParams(kshape, name="Conv_0")()
+            y = _int8_conv(x, w, self.stride)
+            y = InstanceNorm(dtype=self.dtype, name="InstanceNorm_0")(y)
+            return nn.leaky_relu(y, self.negative_slope)
         if self._use_pallas(x):
             from ..ops.pallas.conv3d import conv3d_in_lrelu
             kshape = tuple(self.kernel) + (x.shape[-1], self.features)
@@ -122,6 +158,11 @@ class ConvNormAct(nn.Module):
         )(x)
         x = InstanceNorm(dtype=self.dtype)(x)
         return nn.leaky_relu(x, self.negative_slope)
+
+    def _use_int8(self, x) -> bool:
+        return (self.int8_min_ch > 0
+                and min(x.shape[-1], self.features) >= self.int8_min_ch
+                and x.ndim == 5)
 
     def _use_pallas(self, x) -> bool:
         if not (self.pallas_conv and self.dtype == jnp.bfloat16
@@ -148,14 +189,17 @@ class ConvStage(nn.Module):
     first_stride: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     pallas_conv: bool = False
+    int8_min_ch: int = 0
 
     @nn.compact
     def __call__(self, x):
         ones = (1,) * len(self.kernel)
         x = ConvNormAct(self.features, self.kernel, self.first_stride, self.dtype,
-                        pallas_conv=self.pallas_conv, name="block0")(x)
+                        pallas_conv=self.pallas_conv,
+                        int8_min_ch=self.int8_min_ch, name="block0")(x)
         x = ConvNormAct(self.features, self.kernel, ones, self.dtype,
-                        pallas_conv=self.pallas_conv, name="block1")(x)
+                        pallas_conv=self.pallas_conv,
+                        int8_min_ch=self.int8_min_ch, name="block1")(x)
         return x
 
 
@@ -178,6 +222,9 @@ class GenericUNet(nn.Module):
     # LReLU kernel (inference-only; see ConvNormAct) — enable on a restored
     # model via model.clone(pallas_conv=True)
     pallas_conv: bool = False
+    # inference-only: run stages with min(Cin,Cout) >= this through int8
+    # dynamic quantization (0 = off); opt in via LNN_INT8_CONV=<N>
+    int8_min_ch: int = 0
 
     @property
     def num_pool(self):
@@ -214,7 +261,7 @@ class GenericUNet(nn.Module):
             stride = (1,) * dim if s == 0 else tuple(self.pool_op_kernel_sizes[s - 1])
             h = stage_cls(self.stage_features(s), self.conv_kernel_sizes[s], stride,
                           self.dtype, pallas_conv=self.pallas_conv,
-                          name=f"enc{s}")(h)
+                          int8_min_ch=self.int8_min_ch, name=f"enc{s}")(h)
             taps[f"enc{s}"] = h
             skips.append(h)
         # bottleneck
@@ -222,7 +269,7 @@ class GenericUNet(nn.Module):
                       self.conv_kernel_sizes[self.num_pool],
                       tuple(self.pool_op_kernel_sizes[-1]),
                       self.dtype, pallas_conv=self.pallas_conv,
-                      name="bottleneck")(h)
+                      int8_min_ch=self.int8_min_ch, name="bottleneck")(h)
         taps["bottleneck"] = h
         # decoder + seg heads
         seg_outputs = []
@@ -266,7 +313,13 @@ def maybe_pallas_conv(model):
     (identical param tree)."""
     import os
     if os.environ.get("LNN_PALLAS_CONV", "1") != "0" and hasattr(model, "pallas_conv"):
-        return model.clone(pallas_conv=True)
+        model = model.clone(pallas_conv=True)
+    # experimental mixed-precision inference: LNN_INT8_CONV=<N> quantizes
+    # stages with min(Cin,Cout) >= N (probe flag, VERDICT r2 #4; off by
+    # default — quantization slightly perturbs logits)
+    int8_min = int(os.environ.get("LNN_INT8_CONV", "0") or 0)
+    if int8_min > 0 and hasattr(model, "int8_min_ch"):
+        model = model.clone(int8_min_ch=int8_min)
     return model
 
 

@@ -206,3 +206,25 @@ def test_remat_equivalence():
     gb = jax.tree.leaves(losses[True][1])
     for a, b in zip(ga, gb):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_int8_conv_path_checkpoint_compatible_and_close():
+    """The mixed-precision int8 inference path (LNN_INT8_CONV / int8_min_ch,
+    VERDICT r2 #4): identical param tree to the bf16/f32 model (checkpoints
+    are flag-agnostic) and predictions that agree with the full-precision
+    forward — the quant scales and conv bias cancel exactly through
+    InstanceNorm, so only 8-bit rounding error remains."""
+    model = tiny_unet()
+    model8 = model.clone(int8_min_ch=16)  # quantize stages with C >= 16
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(1, 16, 16, 16, 1)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    params8 = model8.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params8))
+    out = model.apply({"params": params}, x)[0]
+    out8 = model8.apply({"params": params}, x)[0]
+    rel = float(jnp.max(jnp.abs(out - out8)) / jnp.max(jnp.abs(out)))
+    agree = float(jnp.mean(jnp.argmax(out, -1) == jnp.argmax(out8, -1)))
+    assert rel < 0.1, rel
+    assert agree > 0.97, agree
