@@ -73,11 +73,12 @@ def _make_model(classes: int, pools: int, dtype, inference: bool = False):
         conv_kernel_sizes=((3, 3, 3),) * (pools + 1),
         base_num_features=32, max_num_features=320,
         dtype=dtype)
-    # The fused Pallas conv is the DEFAULT inference path on TPU
-    # (LNN_PALLAS_CONV=0 disables); the train_mfu workload keeps XLA so its
-    # number matches the default training configuration (opt into the kernel
-    # with --pallas_conv in real training)
-    return maybe_pallas_conv(model) if inference else model
+    # The fused Pallas conv is the DEFAULT path on TPU for BOTH inference
+    # and (since round 3) training — maybe_pallas_conv applies the same
+    # LNN_PALLAS_CONV=0 opt-out the trainer uses, so both workloads measure
+    # the default configuration.
+    del inference
+    return maybe_pallas_conv(model)
 
 
 def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8,
@@ -290,6 +291,18 @@ def main():
             print(json.dumps(fn()), flush=True)
         except Exception as e:  # noqa: BLE001 — one parseable line per metric
             err = f"{type(e).__name__}: {e}"
+            # a mid-run outage (chip died between workloads) gets ONE
+            # probe-gated retry so an early workload's crash can't take the
+            # later ones (the headline runs last) down with it
+            if any(s in err for s in ("UNAVAILABLE", "DEADLINE", "INTERNAL")):
+                print(f"# {metric}: {err[:120]}; waiting for recovery",
+                      file=sys.stderr, flush=True)
+                if wait_for_tpu(args.max_wait):
+                    try:
+                        print(json.dumps(fn()), flush=True)
+                        continue
+                    except Exception as e2:  # noqa: BLE001
+                        err = f"{type(e2).__name__}: {e2}"
             print(json.dumps({"metric": metric,
                               "error": err[:200]}), flush=True)
 

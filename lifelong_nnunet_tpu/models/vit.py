@@ -24,6 +24,7 @@ grid, preserving spatial structure and keeping the matmuls MXU-shaped.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -155,13 +156,41 @@ class TaskLayerNorm(nn.Module):
         return out
 
 
+def _flash_eligible(n_tokens: int, dtype) -> bool:
+    """Route to the Pallas flash-attention kernel only where the on-chip A/B
+    (tools/ab_vit_attention.py, RESULTS.md round 3) showed a win: TPU, bf16,
+    >=512 tokens (CT-scale ViT; 1.12-1.25x there, 0.88x at the hippocampus'
+    256 padded tokens, so short sequences stay on XLA), block-divisible
+    sequence. ``LNN_FLASH_ATTN=0`` opts out."""
+    if os.environ.get("LNN_FLASH_ATTN", "1") == "0":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return dtype == jnp.bfloat16 and n_tokens >= 512 and n_tokens % 256 == 0
+
+
+def _flash_attention(q, k, v, sm_scale: float):
+    """jax's bundled Pallas TPU flash-attention (forward + custom VJP)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+    n = q.shape[2]
+    block = 512 if n % 512 == 0 else 256
+    bs = BlockSizes(block_q=block, block_k_major=block, block_k=block,
+                    block_b=1, block_q_major_dkv=block,
+                    block_k_major_dkv=block, block_k_dkv=block,
+                    block_q_dkv=block, block_k_major_dq=block,
+                    block_k_dq=block, block_q_dq=block)
+    return flash_attention(q, k, v, causal=False, sm_scale=sm_scale,
+                           block_sizes=bs)
+
+
 class Attention(nn.Module):
     num_heads: int
     lsa: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, need_weights: bool = True):
         B, N, D = x.shape
         head_dim = D // self.num_heads
         qkv = nn.Dense(3 * D, use_bias=True, dtype=self.dtype,
@@ -171,6 +200,15 @@ class Attention(nn.Module):
         q = q.transpose(0, 2, 1, 3)  # [B, H, N, hd]
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
+        if (not self.lsa and not need_weights
+                and _flash_eligible(N, self.dtype)):
+            # flash never materializes the [B,H,N,N] weights — usable only
+            # when the caller doesn't ask for them (return_attn=False)
+            out = _flash_attention(q, k, v, head_dim ** -0.5)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
+            out = nn.Dense(D, dtype=self.dtype, param_dtype=jnp.float32,
+                           name="proj")(out)
+            return out, None
         if self.lsa:
             # learnable per-head temperature, init 1/sqrt(hd) (reference :96-118)
             temp = self.param("temperature",
@@ -199,10 +237,10 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, task_idx: int = 0):
+    def __call__(self, x, task_idx: int = 0, need_weights: bool = True):
         h = TaskLayerNorm(self.ln_tasks, self.dtype, name="norm1")(x, task_idx)
         attn_out, weights = Attention(self.num_heads, self.lsa, self.dtype,
-                                      name="attn")(h)
+                                      name="attn")(h, need_weights)
         x = x + attn_out
         h = TaskLayerNorm(self.ln_tasks, self.dtype, name="norm2")(x, task_idx)
         D = x.shape[-1]
@@ -253,7 +291,9 @@ class VisionTransformer(nn.Module):
         attns = []
         for d in range(self.depth):
             h, w = Block(self.num_heads, self.mlp_ratio, self.lsa,
-                         self.ln_tasks, self.dtype, name=f"block{d}")(h, task_idx)
+                         self.ln_tasks, self.dtype,
+                         name=f"block{d}")(h, task_idx,
+                                           need_weights=return_attn)
             attns.append(w)
         h = TaskLayerNorm(self.ln_tasks, self.dtype, name="norm")(h, task_idx)
         out = nn.Dense(out_features, dtype=self.dtype, param_dtype=jnp.float32,

@@ -102,9 +102,14 @@ def build_parser(extension: str) -> argparse.ArgumentParser:
     p.add_argument("--no_augment", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize conv stages (less HBM, ~30%% more FLOPs)")
-    p.add_argument("--pallas_conv", action="store_true",
+    p.add_argument("--pallas_conv", action="store_true", default=None,
                    help="fused Pallas conv+IN+LReLU for eligible low-channel "
-                        "stages (TPU, bf16; ~1.35x on 128^3 CT patches)")
+                        "stages (TPU, bf16; ~1.35x on 128^3 CT patches). "
+                        "DEFAULT-ON on TPU since round 3 (measured 1.21x CT "
+                        "train step, identical loss trajectory); opt out "
+                        "with --no_pallas_conv or LNN_PALLAS_CONV=0")
+    p.add_argument("--no_pallas_conv", dest="pallas_conv",
+                   action="store_false", help=argparse.SUPPRESS)
     for name, (typ, default) in METHOD_ARGS.get(extension, {}).items():
         if typ is bool:
             p.add_argument(f"--{name}", action="store_true", default=default)

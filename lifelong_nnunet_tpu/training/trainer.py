@@ -77,9 +77,13 @@ class TrainerOptions:
     # ViT (generic_ViT_UNet.py:239-257) and frees HBM for ViT-large/huge.
     model_parallel: int = 1
     # route eligible low-channel conv stages (3^3, stride 1, C<=64, bf16,
-    # TPU, width % 128 == 0) through the fused Pallas conv+IN+LReLU kernel —
-    # measured 1.35x on CT-scale forwards (RESULTS.md round 2)
-    pallas_conv: bool = False
+    # TPU, width % 128 == 0) through the fused Pallas conv+IN+LReLU kernel.
+    # None = auto (the default): ON for TPU training, same as inference —
+    # measured 1.21x on the CT train step with an identical loss trajectory
+    # and XLA-matching gradients (RESULTS.md round 2); the routing gates are
+    # shape/backend-aware so CPU and fp32 runs are unaffected. Opt out with
+    # LNN_PALLAS_CONV=0 (or pallas_conv=False).
+    pallas_conv: bool | None = None
     # write a jax.profiler trace of the first training epoch to this dir
     # (SURVEY.md §5: the reference has no profiler; we make one first-class)
     profile_dir: str | None = None
@@ -130,7 +134,10 @@ class MultiHeadTrainer:
             self.model = unet_from_plans(plans, config_name, dtype=dtype)
         if self.opts.remat:
             self.model = self.model.clone(remat=True)
-        if self.opts.pallas_conv and hasattr(self.model, "pallas_conv"):
+        use_pallas = self.opts.pallas_conv
+        if use_pallas is None:  # auto: default-on, LNN_PALLAS_CONV=0 opts out
+            use_pallas = os.environ.get("LNN_PALLAS_CONV", "1") != "0"
+        if use_pallas and hasattr(self.model, "pallas_conv"):
             # fused Pallas conv+IN+LReLU for eligible low-channel stages
             # (custom VJP reuses the kernel for dx) — ops/pallas/conv3d.py
             self.model = self.model.clone(pallas_conv=True)

@@ -119,3 +119,22 @@ def test_vit_unet_multihead_split():
 def _flat(params):
     from lifelong_nnunet_tpu.models.multihead import flatten
     return flatten(params)
+
+
+def test_flash_attention_gating():
+    """Flash routing (RESULTS.md round-3 probe): TPU+bf16+>=512 tokens only;
+    CPU/fp32/short sequences stay on the XLA einsum path, and the two call
+    modes (need_weights True/False) share the identical parameter tree."""
+    from lifelong_nnunet_tpu.models.vit import _flash_eligible
+    # this suite runs on CPU -> never eligible regardless of shape/dtype
+    assert not _flash_eligible(512, jnp.bfloat16)
+    attn = Attention(num_heads=2, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(2, 512, 16)),
+                    jnp.float32)
+    p1 = attn.init(jax.random.PRNGKey(0), x, True)["params"]
+    p2 = attn.init(jax.random.PRNGKey(0), x, False)["params"]
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    out_w, w = attn.apply({"params": p1}, x, True)
+    out_nw, nw = attn.apply({"params": p1}, x, False)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(out_nw))
+    assert w is not None

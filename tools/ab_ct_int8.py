@@ -16,12 +16,16 @@ Usage: python tools/ab_ct_int8.py [--int8_min 64] [--vols 2]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PATCH = (128, 128, 128)
 VOLUME = (384, 384, 192)

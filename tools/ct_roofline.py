@@ -16,10 +16,14 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
+import sys
 import time
 from collections import defaultdict
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PATCH = (128, 128, 128)
 VOLUME = (384, 384, 192)
@@ -81,6 +85,34 @@ def lane_ceiling_table(ops):
         print(f"| {cout} | {share * 100:.1f}% | {lane * 100:.0f}% |")
     ceiling = 1.0 / inv
     print(f"FLOP-weighted structural ceiling: {ceiling * 100:.1f}% of peak "
+          f"= {ceiling * PEAK_V5E / 1e12:.1f} TFLOP/s on v5e")
+    return total, ceiling
+
+
+def train_ceiling_table(ops):
+    """Analytic TRAIN-step lane ceiling (denominator for bench.py's
+    train_step_ct128_mfu, the VERDICT-r2 'MFU is 5.2%' line).
+
+    Per conv the backward adds: a full forward RECOMPUTE (bench trains with
+    remat — XLA's cost analysis counts those FLOPs, so the bench MFU
+    numerator does too), dx (a conv whose OUTPUT channels are Cin, so its
+    MXU lane ceiling keys on Cin; skipped for the stem conv — the input
+    needs no gradient), and dw (a [27*Cin, M] @ [M, Cout] contraction over
+    batch*spatial — lanes key on Cout).
+    """
+    comps = []  # (flops, lane)
+    lane = lambda c: min(c, 128) / 128.0
+    for _, v, cin, cout, k3, fl in ops:
+        comps.append((2 * fl, lane(cout)))          # fwd + remat recompute
+        if cin > 1:
+            comps.append((fl, lane(cin)))           # dx
+        comps.append((fl, lane(cout)))              # dw
+    total = sum(f for f, _ in comps)
+    inv = sum(f / total / l for f, l in comps)
+    ceiling = 1.0 / inv
+    print(f"\ntrain step (fwd + remat + dx + dw): {total / 1e12:.3f} TFLOP "
+          f"per window per sample")
+    print(f"FLOP-weighted TRAIN lane ceiling: {ceiling * 100:.1f}% of peak "
           f"= {ceiling * PEAK_V5E / 1e12:.1f} TFLOP/s on v5e")
     return total, ceiling
 
@@ -170,7 +202,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure", action="store_true")
     ap.add_argument("--window_batch", type=int, default=2)
+    ap.add_argument("--train", action="store_true",
+                    help="also print the analytic TRAIN-step lane ceiling")
     args = ap.parse_args()
     total, ceiling = lane_ceiling_table(conv_census())
+    if args.train:
+        train_ceiling_table(conv_census())
     if args.measure:
         measure(total, ceiling, args.window_batch)
