@@ -164,12 +164,14 @@ def measure(total_flops: float, ceiling: float, window_batch: int = 2):
         return acc
 
     out = tta_fwd(params, x)
-    out.block_until_ready()
+    float(out.sum())  # host fetch: on the axon relay block_until_ready can
+    # return before remote execution completes (observed 0 ms for a 15-TFLOP
+    # program) — a scalar fetch is the only reliable sync
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         out = tta_fwd(params, x)
-    out.block_until_ready()
+    float(out.sum())
     dt = (time.perf_counter() - t0) / reps
     fwd_flops = total_flops * window_batch * 8
     tfs = fwd_flops / dt / 1e12
