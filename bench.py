@@ -207,17 +207,26 @@ def _probe_tpu_once(timeout_s: int = 90) -> int:
     probe's exit code: 0 healthy, 2 no-TPU-backend (CPU run), else down."""
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "tpu_probe.py")
-    try:
-        r = subprocess.run([sys.executable, probe], timeout=timeout_s,
-                           capture_output=True, text=True)
-        msg = (r.stdout + r.stderr).strip().splitlines()
-        print(f"# probe rc={r.returncode}: {msg[-1] if msg else ''}",
-              file=sys.stderr, flush=True)
-        return r.returncode
-    except subprocess.TimeoutExpired:
-        print("# probe: timeout (hang-at-init outage mode)",
-              file=sys.stderr, flush=True)
-        return 1
+    # Popen + poll loop, NOT subprocess.run(timeout=...): run() blocks in
+    # communicate() after killing the child, and a probe hung on the axon
+    # RPC can sit in uninterruptible sleep where even SIGKILL doesn't reap
+    # promptly — observed wedging the caller >10 min past its 90s timeout.
+    # Here the child is killed and ABANDONED (reaped on our exit) so the
+    # bench process itself can never hang on a dead chip.
+    with open(os.devnull, "w") as devnull:
+        p = subprocess.Popen([sys.executable, probe], stdout=devnull,
+                             stderr=devnull, stdin=subprocess.DEVNULL)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        rc = p.poll()
+        if rc is not None:
+            print(f"# probe rc={rc}", file=sys.stderr, flush=True)
+            return rc
+        time.sleep(1.0)
+    p.kill()
+    print("# probe: timeout (hang-at-init outage mode)",
+          file=sys.stderr, flush=True)
+    return 1
 
 
 def wait_for_tpu(max_wait_s: float = 600.0) -> bool:
