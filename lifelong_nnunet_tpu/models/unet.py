@@ -86,6 +86,18 @@ class _INParams(nn.Module):
         return s, b
 
 
+def _sym_pads(kernel):
+    """Symmetric k//2 zero padding per spatial axis — the upstream contract
+    (reference ``generic_UNet`` blocks pad ``conv_pad_sizes = k//2`` on both
+    sides, torch Conv semantics).  For odd kernels this yields the same
+    output shape as XLA's "SAME" at every stride, but at stride>1 "SAME"
+    pads asymmetrically ((0,1) for k=3,s=2), sampling a grid shifted by one
+    voxel relative to the reference — symmetric padding makes the strided
+    downsampling grid (and thus the whole forward) match torch exactly
+    (tests/test_model_parity_torch.py)."""
+    return tuple((k // 2, k // 2) for k in kernel)
+
+
 def _int8_conv(x, w, stride):
     """Dynamically-quantized int8 conv whose output feeds InstanceNorm.
 
@@ -104,7 +116,8 @@ def _int8_conv(x, w, stride):
                      1e-12)
     wq = jnp.clip(jnp.round(wf * (127.0 / aw)), -127, 127).astype(jnp.int8)
     return jax.lax.conv_general_dilated(
-        xq, wq, window_strides=tuple(stride), padding="SAME",
+        xq, wq, window_strides=tuple(stride),
+        padding=_sym_pads(w.shape[:3]),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=jnp.int32)
 
@@ -152,7 +165,7 @@ class ConvNormAct(nn.Module):
                                    out_dtype=self.dtype)
         x = nn.Conv(
             self.features, kernel_size=tuple(self.kernel),
-            strides=tuple(self.stride), padding="SAME",
+            strides=tuple(self.stride), padding=_sym_pads(self.kernel),
             dtype=self.dtype, param_dtype=jnp.float32,
             kernel_init=nn.initializers.he_normal(),
         )(x)
