@@ -17,12 +17,16 @@ process exits 0 — never a traceback.
 
 ``vs_baseline`` compares against the PyTorch reference's estimated A100
 throughput for the same workload (no numbers are checked into the reference
-repo; BASELINE.md documents the assumptions):
+repo; BASELINE.md "Assumed A100 baselines" documents every derivation):
   * hippocampus sliding window + 8-way TTA: ~6 volumes/s
-  * CT-scale (~200x 128^3 windows + TTA): ~0.25 volumes/s (~4 s/volume
-    device time — nnU-Net v1 full-res CT inference is minutes/case
-    end-to-end; device-only share estimated)
-  * train_mfu: vs_baseline reports MFU (fraction of peak bf16 FLOP/s).
+  * CT-scale (50x 128^3 windows + TTA8, 384x384x192): ~0.107 volumes/s
+    (~280 TFLOP/volume at an assumed ~30 TFLOP/s sustained A100 conv rate
+    -> ~9.3 s/volume; see A100_REFERENCE_CT_VOL_PER_S below)
+  * train_mfu: vs_baseline is A100-relative like its siblings (assumed
+    ~30 TFLOP/s sustained on the same conv mix); the extra ``mfu`` key
+    reports fraction-of-peak on the chip actually measured.
+  * vit: ViT-U-Net V1 'base' train step; assumed A100 sustains
+    ~90 TFLOP/s on this matmul-dominated mix.
 """
 
 from __future__ import annotations
@@ -42,6 +46,16 @@ A100_REFERENCE_VOL_PER_S = 6.0
 # this low-channel 3D-conv mix (cuDNN is similarly channel-starved at C=32),
 # that is ~9.3 s/volume -> 0.107 vol/s. Documented assumption, see BASELINE.md.
 A100_REFERENCE_CT_VOL_PER_S = 0.107
+# Full 512x512x288 CT volume: 196 windows -> 196/50 x the 384-volume FLOPs
+# under the same 30 TFLOP/s assumption -> ~36.6 s/volume -> 0.0273 vol/s.
+A100_REFERENCE_CT_FULL_VOL_PER_S = 0.0273
+# Same 30 TFLOP/s sustained-A100 assumption applied to the CT train step
+# (fwd+bwd+update ~7.9 TFLOP at batch 2 -> ~260 ms assumed A100 step).
+A100_REFERENCE_TRAIN_TFLOPS = 30e12
+# ViT-U-Net V1 'base' train step is matmul-dominated (768-dim attention/MLP
+# blocks); assume the A100 sustains ~90 TFLOP/s there (~30% of its 312
+# TFLOP/s bf16 peak — typical AMP ViT training efficiency). BASELINE.md.
+A100_REFERENCE_VIT_TRAIN_TFLOPS = 90e12
 
 # peak bf16 matmul FLOP/s per chip by device kind (public spec sheets)
 PEAK_BF16 = {
@@ -62,6 +76,11 @@ HIPPO = dict(patch=(40, 56, 40), volume=(60, 84, 60), classes=3,
 # same kernels at the same per-window scale and completes.
 CT = dict(patch=(128, 128, 128), volume=(384, 384, 192), classes=3,
           pools=5, warmup=1, timed=2)
+# Opt-in full-size CT volume (196 windows, chunked-slab core, ~minutes per
+# volume): not part of --workload all because a single >3-minute device
+# program has crashed the axon worker before; run explicitly when needed.
+CT_FULL = dict(patch=(128, 128, 128), volume=(512, 512, 288), classes=3,
+               pools=5, warmup=1, timed=1)
 
 
 def _make_model(classes: int, pools: int, dtype, inference: bool = False):
@@ -181,9 +200,105 @@ def bench_train_mfu(batch: int = 2, iters: int = 10):
     peak = next((v for k, v in PEAK_BF16.items() if k.lower() in kind.lower()),
                 197e12)
     achieved = flops / dt
+    # vs_baseline is A100-relative like the other metrics (VERDICT r3 weak
+    # #2): the assumed A100 step for the same FLOPs at 30 TFLOP/s sustained,
+    # divided by the measured step. Fraction-of-peak moves to ``mfu``.
     return {"metric": "train_step_ct128_mfu", "value": round(achieved / 1e12, 2),
             "unit": f"TFLOP/s/chip (step {dt * 1e3:.0f} ms, {kind})",
-            "vs_baseline": round(achieved / peak, 4)}
+            "vs_baseline": round(achieved / A100_REFERENCE_TRAIN_TFLOPS, 3),
+            "mfu": round(achieved / peak, 4)}
+
+
+def bench_vit(batch: int = 4, iters: int = 10):
+    """ViT-U-Net V1 'base' (reference flagship, generic_ViT_UNet.py:16-339)
+    hippocampus-scale train step + a CT-scale forward that exercises the
+    flash-attention routing (512 tokens at 128^3 -> _flash_eligible fires on
+    TPU/bf16).  Batch 4 = the reference's ViT batch halving of the
+    hippocampus plans batch 9 (multihead/nnUNetTrainerMultiHead.py:283-292).
+    vs_baseline: assumed A100 sustains ~90 TFLOP/s on this matmul-dominated
+    mix (BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from lifelong_nnunet_tpu.models.unet import ds_scale_factors
+    from lifelong_nnunet_tpu.models.vit_unet import GenericViTUNet
+    from lifelong_nnunet_tpu.training.optimizer import make_optimizer
+    from lifelong_nnunet_tpu.training.train_step import (
+        StepConfig, TrainState, make_train_step)
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
+    patch, pools, classes = HIPPO["patch"], HIPPO["pools"], HIPPO["classes"]
+    model = GenericViTUNet(
+        num_classes=classes, pool_op_kernel_sizes=((2, 2, 2),) * pools,
+        conv_kernel_sizes=((3, 3, 3),) * (pools + 1), base_num_features=32,
+        max_num_features=320, dtype=dtype, vit_version="V1", vit_type="base")
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1,) + patch + (1,)))["params"]
+    tx = make_optimizer(max_epochs=100, iters_per_epoch=250)
+    ds_factors = tuple(ds_scale_factors(((2, 2, 2),) * pools))
+    step = make_train_step(model, tx, StepConfig(
+        ds_factors=ds_factors, batch_dice=True, num_classes=classes,
+        augment=None))
+    state = TrainState.create(jax.device_put(params), tx)
+    rng = np.random.RandomState(0)
+    batch_np = {
+        "data": jnp.asarray(rng.normal(size=(batch,) + patch + (1,)),
+                            jnp.float32),
+        "seg": jnp.asarray(rng.randint(0, classes, (batch,) + patch),
+                           jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+    state, _, metrics = step(state, None, batch_np, key)  # warmup/compile
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _, metrics = step(state, None, batch_np, key)
+    loss = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(loss)
+
+    flops = None
+    try:
+        ca = jax.jit(step).lower(state, None, batch_np, key).compile(
+            ).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    achieved = (flops / dt) if flops else None
+
+    # CT-scale ViT forward: first-skip grid 128^2 -> 16^3 patches = 512
+    # tokens, the smallest real config where the flash-attention gate opens
+    ct_model = GenericViTUNet(
+        num_classes=classes, pool_op_kernel_sizes=((2, 2, 2),) * CT["pools"],
+        conv_kernel_sizes=((3, 3, 3),) * (CT["pools"] + 1),
+        base_num_features=32, max_num_features=320, dtype=dtype,
+        vit_version="V1", vit_type="base", remat=True)
+    ct_x = [jnp.asarray(np.random.RandomState(50 + r).normal(
+        size=(1,) + CT["patch"] + (1,)), jnp.bfloat16 if dtype == jnp.bfloat16
+        else jnp.float32) for r in range(3)]
+    ct_params = ct_model.init(jax.random.PRNGKey(1), ct_x[0])["params"]
+    ct_fwd = jax.jit(lambda p, x: ct_model.apply({"params": p}, x)[0])
+    float(jnp.sum(ct_fwd(ct_params, ct_x[0])))  # compile/warm
+    t0 = time.perf_counter()
+    for xv in ct_x[1:]:  # distinct inputs per rep (relay dedup)
+        s = float(jnp.sum(ct_fwd(ct_params, xv)))
+    ct_ms = (time.perf_counter() - t0) / 2 * 1e3
+    assert np.isfinite(s)
+    from lifelong_nnunet_tpu.models.vit import _flash_eligible
+    flash = _flash_eligible(512, dtype)
+
+    value = round(achieved / 1e12, 2) if achieved else round(1.0 / dt, 2)
+    unit = (f"TFLOP/s/chip (step {dt * 1e3:.0f} ms b{batch}; "
+            f"ct_fwd {ct_ms:.0f} ms flash={'on' if flash else 'off'})")
+    out = {"metric": "train_step_vit_v1_base_hippocampus", "value": value,
+           "unit": unit if achieved else
+           f"steps/s (step {dt * 1e3:.0f} ms b{batch})"}
+    if achieved:
+        out["vs_baseline"] = round(achieved / A100_REFERENCE_VIT_TRAIN_TFLOPS,
+                                   3)
+    return out
 
 
 def _analytic_train_flops(batch: int, patch, pools: int,
@@ -211,20 +326,38 @@ def _probe_tpu_once(timeout_s: int = 90) -> int:
     # communicate() after killing the child, and a probe hung on the axon
     # RPC can sit in uninterruptible sleep where even SIGKILL doesn't reap
     # promptly — observed wedging the caller >10 min past its 90s timeout.
-    # Here the child is killed and ABANDONED (reaped on our exit) so the
-    # bench process itself can never hang on a dead chip.
-    with open(os.devnull, "w") as devnull:
-        p = subprocess.Popen([sys.executable, probe], stdout=devnull,
-                             stderr=devnull, stdin=subprocess.DEVNULL)
+    # Here the child is killed and ABANDONED (reaped opportunistically below
+    # or on our exit) so the bench process can never hang on a dead chip.
+    # Probe output goes to a temp file so the diagnostic last line (e.g.
+    # rc=2 no-TPU-backend vs a relay UNAVAILABLE) survives (ADVICE r3).
+    import tempfile
+    out = tempfile.NamedTemporaryFile(mode="w+", suffix=".probe", delete=False)
+    p = subprocess.Popen([sys.executable, probe], stdout=out,
+                         stderr=subprocess.STDOUT, stdin=subprocess.DEVNULL)
+
+    def _tail():
+        try:
+            out.flush()
+            with open(out.name) as f:
+                lines = [ln.strip() for ln in f if ln.strip()]
+            os.unlink(out.name)
+            return lines[-1][:160] if lines else ""
+        except OSError:
+            return ""
+
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
         rc = p.poll()
         if rc is not None:
-            print(f"# probe rc={rc}", file=sys.stderr, flush=True)
+            print(f"# probe rc={rc} {_tail()}", file=sys.stderr, flush=True)
             return rc
         time.sleep(1.0)
     p.kill()
-    print("# probe: timeout (hang-at-init outage mode)",
+    try:  # opportunistic reap; never blocks past 5s (kill can be slow to land)
+        p.wait(timeout=5)
+    except subprocess.TimeoutExpired:
+        pass
+    print(f"# probe: timeout (hang-at-init outage mode) {_tail()}",
           file=sys.stderr, flush=True)
     return 1
 
@@ -247,16 +380,22 @@ def wait_for_tpu(max_wait_s: float = 600.0) -> bool:
         delay = min(delay * 2, 120.0)
 
 
+# metric name states the measured geometry (VERDICT r3 weak #4): a reduced
+# 384x384x192 volume / 50-window grid of 128^3 patches, not a full CT FOV —
+# the full 512x512x288 run is the opt-in ``ct_full`` workload below.
+CT_METRIC = "sliding_window_ct_384x384x192_p128_tta8"
 WORKLOADS = {
     # window_batch 2 for CT: at 128^3 the TTA-expanded batch (2*8 windows)
     # exceeds _TTA_BATCH_MAX_ELEMS, so the mirror variants run as a lax.scan
     # of batch-2 forwards (see _tta_forward); larger window batches OOM the
     # first conv stage's activations at this scale
-    "ct": ("sliding_window_3d_fullres_ct128_tta8",
+    "ct": (CT_METRIC,
            lambda: bench_sliding_window(
-               CT, "sliding_window_3d_fullres_ct128_tta8",
-               A100_REFERENCE_CT_VOL_PER_S, window_batch=2)),
+               CT, CT_METRIC,
+               A100_REFERENCE_CT_VOL_PER_S,
+               window_batch=int(os.environ.get("LNN_CT_WB", "2")))),
     "train_mfu": ("train_step_ct128_mfu", bench_train_mfu),
+    "vit": ("train_step_vit_v1_base_hippocampus", bench_vit),
     # primary metric LAST so single-line consumers parse the headline.
     # volume_batch 8: the vmapped OA core groups 8 same-bucket volumes per
     # dispatch — measured 14.2-15.7 vol/s vs ~10 at vb=1 (per-dispatch host
@@ -267,21 +406,31 @@ WORKLOADS = {
                         HIPPO, "sliding_window_3d_fullres_hippocampus_tta8",
                         A100_REFERENCE_VOL_PER_S, volume_batch=8)),
 }
+# opt-in extras, NOT part of --workload all (see CT_FULL note)
+EXTRA_WORKLOADS = {
+    "ct_full": ("sliding_window_ct_512x512x288_p128_tta8",
+                lambda: bench_sliding_window(
+                    CT_FULL, "sliding_window_ct_512x512x288_p128_tta8",
+                    A100_REFERENCE_CT_FULL_VOL_PER_S,
+                    window_batch=int(os.environ.get("LNN_CT_WB", "2")))),
+}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="all",
-                    choices=["hippocampus", "ct", "train_mfu", "all"])
+                    choices=["hippocampus", "ct", "train_mfu", "vit", "all",
+                             "ct_full"])
     ap.add_argument("--max_wait", type=float, default=600.0,
                     help="max seconds to wait for a healthy TPU before "
                          "emitting JSON error lines (never a traceback)")
     args = ap.parse_args()
+    table = dict(WORKLOADS, **EXTRA_WORKLOADS)
     names = list(WORKLOADS) if args.workload == "all" else [args.workload]
 
     if not wait_for_tpu(args.max_wait):
         for name in names:
-            print(json.dumps({"metric": WORKLOADS[name][0],
+            print(json.dumps({"metric": table[name][0],
                               "error": "tpu_unavailable"}), flush=True)
         return
 
@@ -295,7 +444,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     for name in names:
-        metric, fn = WORKLOADS[name]
+        metric, fn = table[name]
         try:
             print(json.dumps(fn()), flush=True)
         except Exception as e:  # noqa: BLE001 — one parseable line per metric

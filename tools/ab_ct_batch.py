@@ -32,14 +32,16 @@ def sync(x):
 
 
 def bench(fn, args_list, reps=3):
-    """Median seconds/call over reps, DISTINCT args per rep (the relay
-    dedupes identical dispatches — observed 0 ms for 15-TFLOP programs)."""
-    sync(fn(*args_list[0]))  # compile/warmup
+    """Median seconds/call over reps.  args_list MUST hold reps+1 DISTINCT
+    input sets: the relay dedupes repeat (program, args) dispatches
+    (observed 0 ms for 15-TFLOP programs), so warmup uses args_list[0] and
+    each timed rep uses a fresh, never-before-dispatched set."""
+    assert len(args_list) >= reps + 1, "need reps+1 distinct input sets"
+    sync(fn(*args_list[0]))  # compile/warmup (input never timed)
     ts = []
     for r in range(reps):
-        a = args_list[(r + 1) % len(args_list)]
         t0 = time.perf_counter()
-        sync(fn(*a))
+        sync(fn(*args_list[1 + r]))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -56,8 +58,8 @@ def stage_ab(b, sp, cin, cout, key):
         m = ConvNormAct(features=cout, kernel=(3, 3, 3), stride=(1, 1, 1),
                         dtype=jnp.bfloat16, pallas_conv=pallas)
         try:
-            xs = [jnp.asarray(np.random.RandomState(7 * r).normal(
-                size=shape), jnp.bfloat16) for r in range(2)]
+            xs = [jnp.asarray(np.random.RandomState(7 * r + 1).normal(
+                size=shape), jnp.bfloat16) for r in range(4)]
             params = m.init(key, xs[0])
             f = jax.jit(lambda p, x: m.apply(p, x))
             dt = bench(f, [(params, x) for x in xs])
@@ -115,9 +117,9 @@ def main():
                 max_num_features=320, dtype=jnp.bfloat16,
                 pallas_conv=pallas)
             try:
-                xs = [jnp.asarray(np.random.RandomState(11 * r).normal(
+                xs = [jnp.asarray(np.random.RandomState(11 * r + 1).normal(
                     size=(b, 128, 128, 128, 1)), jnp.bfloat16)
-                    for r in range(2)]
+                    for r in range(4)]
                 params = model.init(key, xs[0][:1])
                 f = jax.jit(lambda p, x: model.apply(p, x)[0])
                 dt = bench(f, [(params, x) for x in xs])

@@ -53,13 +53,16 @@ print(f"backend={jax.default_backend()} pallas={os.environ['LNN_PALLAS_CONV']}")
 rng = np.random.RandomState(0)
 for b in batches:
     try:
-        x = jnp.asarray(rng.normal(size=(b,) + PATCH + (1,)), jnp.bfloat16)
-        float(fwd(params, x))  # compile + warm
-        t0 = time.perf_counter()
+        # DISTINCT input per rep (+ a warmup-only input): the relay dedupes
+        # repeat (program, args) dispatches — same fix as ct_roofline.py.
         reps = 3
-        for _ in range(reps):
-            s = fwd(params, x)
-        float(s)
+        xs = [jnp.asarray(rng.normal(size=(b,) + PATCH + (1,)), jnp.bfloat16)
+              for _ in range(reps + 1)]
+        float(fwd(params, xs[0]))  # compile + warm
+        t0 = time.perf_counter()
+        outs = [fwd(params, xv) for xv in xs[1:]]
+        for s in outs:
+            float(s)
         dt = (time.perf_counter() - t0) / reps
         tfs = FWD_TFLOP_PER_SAMPLE * b / dt
         print(f"batch {b}: {dt * 1e3:7.1f} ms = {tfs:5.1f} TFLOP/s "
