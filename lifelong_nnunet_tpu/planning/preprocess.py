@@ -163,9 +163,17 @@ def preprocess_case(task_dir: str, case: str, plans: Plans, config_name: str,
 
 def preprocess_task(task_dir: str, plans: Plans, preprocessed_root: str,
                     configs=("3d_fullres", "2d"), data_identifier: str = "nnUNetData_plans_v2.1"):
-    """Preprocess every case for each configuration. Returns output dirs."""
+    """Preprocess every case for each configuration. Returns output dirs.
+
+    The output tree is keyed by the task actually being preprocessed (the
+    ``task_dir`` basename), NOT ``plans.task``: under the first-task geometry
+    invariant, later tasks are preprocessed with the FIRST task's plans
+    (reference ``model_restore.py:120-134``), and keying by ``plans.task``
+    would silently overwrite every task's arrays into one directory (same
+    case ids → cross-task aliasing; caught by the round-4 forgetting
+    benchmark, where it flattened the [stage x task] Dice matrix)."""
     from .fingerprint import list_cases
-    task = plans.task
+    task = os.path.basename(os.path.normpath(task_dir)) or plans.task
     out_dirs = {}
     for cname in configs:
         if cname not in plans.configurations:

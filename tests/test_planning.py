@@ -80,6 +80,25 @@ def test_plans_json_roundtrip(synthetic_task, tmp_path):
     assert 0 in plans2.normalization_schemes
 
 
+def test_preprocess_task_keyed_by_actual_task(synthetic_task, synthetic_task_b,
+                                              tmp_path):
+    """Under the first-task geometry invariant later tasks reuse task A's
+    plans; their preprocessed arrays must still land in their OWN task dir
+    (regression: keying by plans.task aliased every task onto one directory
+    because case ids repeat across synthetic tasks)."""
+    plans = plan_experiment(analyze_dataset(synthetic_task))
+    out_a = preprocess_task(synthetic_task, plans, str(tmp_path),
+                            configs=("3d_fullres",))["3d_fullres"]
+    out_b = preprocess_task(synthetic_task_b, plans, str(tmp_path),
+                            configs=("3d_fullres",))["3d_fullres"]
+    assert out_a != out_b
+    assert "Task097_SynthA" in out_a and "Task098_SynthB" in out_b
+    case = list_cases(synthetic_task)[0]
+    a = np.load(os.path.join(out_a, f"{case}.npy"))
+    b = np.load(os.path.join(out_b, f"{case}.npy"))
+    assert not np.array_equal(a, b)
+
+
 def test_preprocess_task(synthetic_task, tmp_path):
     plans = plan_experiment(analyze_dataset(synthetic_task))
     out = preprocess_task(synthetic_task, plans, str(tmp_path), configs=("3d_fullres",))
