@@ -385,15 +385,17 @@ def wait_for_tpu(max_wait_s: float = 600.0) -> bool:
 # the full 512x512x288 run is the opt-in ``ct_full`` workload below.
 CT_METRIC = "sliding_window_ct_384x384x192_p128_tta8"
 WORKLOADS = {
-    # window_batch 2 for CT: at 128^3 the TTA-expanded batch (2*8 windows)
-    # exceeds _TTA_BATCH_MAX_ELEMS, so the mirror variants run as a lax.scan
-    # of batch-2 forwards (see _tta_forward); larger window batches OOM the
-    # first conv stage's activations at this scale
+    # window_batch 4 for CT: the round-4 e2e sweep (results/r4/wb_*.log,
+    # tools/ab_ct_window_batch.py) measured Pallas-conv wb=4 fastest
+    # (0.0398 vol/s vs 0.036 at wb=2 and 0.0325 at wb=8; the XLA arm loses
+    # at every wb and wb=8 XLA reproduces the remote-compile HTTP-500).
+    # The TTA mirror variants still run as a lax.scan of batch-wb forwards
+    # (_TTA_BATCH_MAX_ELEMS), so wb IS the effective conv batch.
     "ct": (CT_METRIC,
            lambda: bench_sliding_window(
                CT, CT_METRIC,
                A100_REFERENCE_CT_VOL_PER_S,
-               window_batch=int(os.environ.get("LNN_CT_WB", "2")))),
+               window_batch=int(os.environ.get("LNN_CT_WB", "4")))),
     "train_mfu": ("train_step_ct128_mfu", bench_train_mfu),
     "vit": ("train_step_vit_v1_base_hippocampus", bench_vit),
     # primary metric LAST so single-line consumers parse the headline.
@@ -412,7 +414,7 @@ EXTRA_WORKLOADS = {
                 lambda: bench_sliding_window(
                     CT_FULL, "sliding_window_ct_512x512x288_p128_tta8",
                     A100_REFERENCE_CT_FULL_VOL_PER_S,
-                    window_batch=int(os.environ.get("LNN_CT_WB", "2")))),
+                    window_batch=int(os.environ.get("LNN_CT_WB", "4")))),
 }
 
 

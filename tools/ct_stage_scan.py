@@ -1,0 +1,283 @@
+"""True per-stage conv cost at CT scale, RPC-amortized (round 4).
+
+Round-3's per-stage A/B (ab_ct_batch.py) timed ONE block per dispatch, and
+the axon relay adds ~20-25 ms of per-dispatch overhead — visible in its s0
+batch curve (36/44/62 ms for 1x/2x/4x the work), which therefore measured
+RPC, not the kernel.  This tool chains the block inside ONE dispatch with a
+carry-dependent ``lax.scan`` (the block output IS the next input — cin==cout
+stages only; IN+LReLU keeps activations bounded so the chain is stable, and
+the data dependence defeats both XLA CSE and the relay's dispatch dedup):
+
+    per-iter = (t(scan N) - t(scan 1)) / (N - 1)
+
+which cancels dispatch overhead, host transfer, AND the first-use warmup.
+
+Modes:
+  blocks  ConvNormAct (XLA vs Pallas) per (stage, batch)
+  shapes  bare conv3d throughput at CONSTANT total voxels across
+          (batch, spatial) splits — does folding spatial into batch lift
+          the C=32 regime the way the hippocampus numbers suggest?
+
+Usage:  python tools/ct_stage_scan.py [blocks|shapes|all] [--n 8]
+Run on an IDLE host.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x):
+    """Scalar host fetch: block_until_ready can return before remote
+    execution completes on the axon relay."""
+    return float(np.asarray(x))
+
+
+def _time_scan(make_fn, x_shape, dtype, n, tag=""):
+    """Median-of-3 per-iter seconds via the (N)-(1) scan difference.
+
+    Each timed dispatch gets a DISTINCT input (relay dedup discipline)."""
+    import jax
+    import jax.numpy as jnp
+
+    f1 = jax.jit(make_fn(1))
+    fn = jax.jit(make_fn(n))
+    rng = np.random.RandomState(17)
+    xs = [jnp.asarray(rng.normal(size=x_shape), dtype) for _ in range(8)]
+    _sync(f1(xs[0]))          # compile+warm (never timed)
+    _sync(fn(xs[0]))
+    t1s, tns = [], []
+    for r in range(3):
+        t0 = time.perf_counter()
+        _sync(f1(xs[1 + r]))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(fn(xs[4 + r]))
+        tns.append(time.perf_counter() - t0)
+    t1 = float(np.median(t1s))
+    tn = float(np.median(tns))
+    return max(tn - t1, 1e-9) / (n - 1), t1, tn
+
+
+def bench_block(spatial, c, b, pallas: bool, n: int):
+    """ConvNormAct chained: per-iteration cost of one fused block."""
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.models.unet import ConvNormAct
+    import jax
+
+    m = ConvNormAct(features=c, kernel=(3, 3, 3), stride=(1, 1, 1),
+                    dtype=jnp.bfloat16, pallas_conv=pallas)
+    shape = (b,) + spatial + (c,)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.bfloat16))
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                return m.apply(params, x), None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def bench_bare_conv(spatial, c, b, n: int):
+    """Bare SAME conv3d (no IN/act), chained via a cheap renorm (rsqrt of the
+    running mean-square keeps the chain bounded; cost ~ one elementwise map,
+    << conv)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(27 * c)), size=(3, 3, 3, c, c)), jnp.bfloat16)
+    shape = (b,) + spatial + (c,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = lax.conv_general_dilated(
+                    x, w, (1, 1, 1), "SAME",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                return (y * lax.rsqrt(ms + 1e-6).astype(y.dtype)), None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def split_conv_same(x, w, splits=(2, 2, 2)):
+    """3x3x3 stride-1 SAME conv computed as a batch of halo'd sub-blocks.
+
+    Splits the spatial volume into prod(splits) blocks with a 1-voxel halo,
+    folds them into the batch dim, runs ONE VALID conv at batch
+    B*prod(splits), and reassembles — numerically identical to the SAME conv
+    (the halo supplies exactly the SAME zero/neighbor border each block
+    needs).  Purpose: move the conv into the large-batch/small-spatial
+    regime where XLA's TPU conv measured ~85%-of-lane-ceiling (hippocampus
+    shapes) instead of the ~20% it reaches at [b<=8, 128^3]."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    B, D, H, W, C = x.shape
+    sd, sh, sw = splits
+    bd, bh, bw = D // sd, H // sh, W // sw
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    # [B, sd, bd+2, sh, bh+2, sw, bw+2, C] via strided gather of overlapping
+    # blocks: slice per split index (unrolled — splits is tiny and static)
+    blocks = [xp[:, i * bd:i * bd + bd + 2, j * bh:j * bh + bh + 2,
+                 k * bw:k * bw + bw + 2, :]
+              for i in range(sd) for j in range(sh) for k in range(sw)]
+    xb = jnp.concatenate(blocks, axis=0)        # [B*nb, bd+2, bh+2, bw+2, C]
+    yb = lax.conv_general_dilated(
+        xb, w, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    nb = sd * sh * sw
+    yb = yb.reshape((nb, B, bd, bh, bw, -1))
+    yb = yb.reshape((sd, sh, sw, B, bd, bh, bw, -1))
+    y = jnp.moveaxis(yb, 3, 0)                  # [B, sd, sh, sw, bd, bh, bw, C]
+    y = y.transpose((0, 1, 4, 2, 5, 3, 6, 7))
+    return y.reshape((B, D, H, W, -1))
+
+
+def bench_split_conv(spatial, c, b, n: int, splits=(2, 2, 2)):
+    """Chained split-conv (renorm between iters, like bench_bare_conv)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(27 * c)), size=(3, 3, 3, c, c)), jnp.bfloat16)
+    shape = (b,) + spatial + (c,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = split_conv_same(x, w, splits)
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                return (y * lax.rsqrt(ms + 1e-6).astype(y.dtype)), None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def check_split_correct():
+    """split_conv_same == SAME conv (f32, CPU-checkable)."""
+    import jax.numpy as jnp
+    from jax import lax
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 8, 5)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 5, 7)), jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = split_conv_same(x, w, (2, 2, 2))
+    err = float(jnp.max(jnp.abs(ref - got)))
+    assert err < 1e-4, f"split conv mismatch: {err}"
+    got2 = split_conv_same(x, w, (4, 3, 2))
+    err2 = float(jnp.max(jnp.abs(ref - got2)))
+    assert err2 < 1e-4, f"split conv mismatch (4,3,2): {err2}"
+    print(f"split_conv_same correct (max err {max(err, err2):.2e})",
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="all",
+                    choices=["blocks", "shapes", "split", "all"])
+    ap.add_argument("--n", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"backend={jax.default_backend()} n={args.n}", flush=True)
+
+    if args.mode in ("blocks", "all"):
+        stages = [
+            ("s0 128^3 C32", (128, 128, 128), 32, [1, 2, 4, 8]),
+            ("s1 64^3 C64", (64, 64, 64), 64, [2, 4, 8]),
+            ("s2 32^3 C128", (32, 32, 32), 128, [2, 4, 8]),
+            ("s3 16^3 C256", (16, 16, 16), 256, [2, 8]),
+        ]
+        print("\n## fused block (conv+IN+LReLU), true per-iter")
+        print("| stage | b | XLA ms (T/s) | Pallas ms (T/s) |", flush=True)
+        print("|---|---|---|---|")
+        for name, sp, c, bs in stages:
+            for b in bs:
+                flops = 2 * b * int(np.prod(sp)) * c * c * 27
+                cells = []
+                for pallas in (False, True):
+                    try:
+                        dt, t1, tn = bench_block(sp, c, b, pallas, args.n)
+                        cells.append(f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})")
+                    except Exception as e:
+                        cells.append(f"FAIL:{type(e).__name__}")
+                print(f"| {name} | {b} | {cells[0]} | {cells[1]} |",
+                      flush=True)
+
+    if args.mode in ("shapes", "all"):
+        # constant total voxels = 4 x 128^3; does batch-vs-spatial shape move
+        # the bare-conv rate at C=32/C=64?
+        combos = [
+            ("b4 128^3", (128, 128, 128), 4),
+            ("b32 64^3", (64, 64, 64), 32),
+            ("b256 32^3", (32, 32, 32), 256),
+            ("b32 66x66x62", (66, 66, 62), 32),   # split-with-halo geometry
+        ]
+        print("\n## bare conv3d SAME, constant 4x128^3 voxels, true per-iter")
+        print("| shape | C | ms (T/s) |", flush=True)
+        print("|---|---|---|")
+        for c in (32, 64):
+            for name, sp, b in combos:
+                flops = 2 * b * int(np.prod(sp)) * c * c * 27
+                try:
+                    dt, t1, tn = bench_bare_conv(sp, c, b, args.n)
+                    cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+                except Exception as e:
+                    cell = f"FAIL:{type(e).__name__}"
+                print(f"| {name} | {c} | {cell} |", flush=True)
+
+    if args.mode in ("split", "all"):
+        check_split_correct()
+        print("\n## split-with-halo SAME conv vs direct, true per-iter")
+        print("| shape | C | splits | direct ms (T/s) | split ms (T/s) |",
+              flush=True)
+        print("|---|---|---|---|---|")
+        cases = [
+            ((128, 128, 128), 32, 2, (2, 2, 2)),
+            ((128, 128, 128), 32, 4, (2, 2, 2)),
+            ((128, 128, 128), 32, 4, (4, 4, 2)),
+            ((64, 64, 64), 64, 4, (2, 2, 2)),
+        ]
+        for sp, c, b, splits in cases:
+            flops = 2 * b * int(np.prod(sp)) * c * c * 27
+            cells = []
+            try:
+                dt, _, _ = bench_bare_conv(sp, c, b, args.n)
+                cells.append(f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})")
+            except Exception as e:
+                cells.append(f"FAIL:{type(e).__name__}")
+            try:
+                dt, _, _ = bench_split_conv(sp, c, b, args.n, splits)
+                cells.append(f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})")
+            except Exception as e:
+                cells.append(f"FAIL:{type(e).__name__}")
+            print(f"| b{b} {sp[0]}x{sp[1]}x{sp[2]} | {c} | {splits} "
+                  f"| {cells[0]} | {cells[1]} |", flush=True)
+
+
+if __name__ == "__main__":
+    main()
