@@ -193,10 +193,116 @@ def check_split_correct():
           flush=True)
 
 
+def bench_blocked_conv(spatial, c, b, n: int, blocks):
+    """Chained blocked SAME conv (ops/blocked_conv.blocked_conv_same):
+    reshape+edge-concat pack, VALID conv at large batch, unpack."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.ops.blocked_conv import blocked_conv_same
+
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(27 * c)), size=(3, 3, 3, c, c)), jnp.bfloat16)
+    shape = (b,) + spatial + (c,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = blocked_conv_same(x, w, blocks=blocks)
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                return (y * lax.rsqrt(ms + 1e-6).astype(y.dtype)), None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def bench_blocked_stage(spatial, c, b, n: int, blocks):
+    """Chained 2-conv stage: blocked_stage vs two fused ConvNormAct."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.ops.blocked_conv import blocked_stage
+
+    rng = np.random.RandomState(3)
+    w1 = jnp.asarray(rng.normal(scale=1 / np.sqrt(27 * c),
+                                size=(3, 3, 3, c, c)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(scale=1 / np.sqrt(27 * c),
+                                size=(3, 3, 3, c, c)), jnp.bfloat16)
+    sc = jnp.ones((c,), jnp.float32)
+    of = jnp.zeros((c,), jnp.float32)
+    shape = (b,) + spatial + (c,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = blocked_stage(x, w1, sc, of, w2, sc, of, blocks=blocks)
+                return y, None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def bench_xla_stage(spatial, c, b, n: int, pallas=False):
+    """Chained 2x fused ConvNormAct stage (the current production path)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.models.unet import ConvNormAct
+
+    m = ConvNormAct(features=c, kernel=(3, 3, 3), stride=(1, 1, 1),
+                    dtype=jnp.bfloat16, pallas_conv=pallas)
+    shape = (b,) + spatial + (c,)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.bfloat16))
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                return m.apply(params, m.apply(params, x)), None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def bench_valid_conv(spatial, c, b, n: int):
+    """Raw VALID conv rate at the blocked regime's exact shapes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(27 * c)), size=(3, 3, 3, c, c)), jnp.bfloat16)
+    shape = (b,) + spatial + (c,)
+    out_sp = tuple(s - 2 for s in spatial)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = lax.conv_general_dilated(
+                    x, w, (1, 1, 1), "VALID",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
+                return jnp.pad(y, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0))), \
+                    None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    flops = 2 * b * int(np.prod(out_sp)) * c * c * 27
+    dt, t1, tn = _time_scan(make_fn, shape, jnp.bfloat16, n)
+    return dt, flops
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="all",
-                    choices=["blocks", "shapes", "split", "all"])
+                    choices=["blocks", "shapes", "split", "blocked", "all"])
     ap.add_argument("--n", type=int, default=8)
     args = ap.parse_args()
 
@@ -249,6 +355,53 @@ def main():
                 except Exception as e:
                     cell = f"FAIL:{type(e).__name__}"
                 print(f"| {name} | {c} | {cell} |", flush=True)
+
+    if args.mode in ("blocked", "all"):
+        print("\n## blocked conv (reshape+edge-concat pack) vs direct, "
+              "true per-iter")
+        print("| case | ms (T/s) |", flush=True)
+        print("|---|---|")
+        # raw regime ceiling: VALID conv at the blocked shapes
+        for sp, c, b in (((34, 34, 34), 32, 128), ((34, 34, 34), 32, 256),
+                         ((18, 18, 18), 32, 1024)):
+            try:
+                dt, flops = bench_valid_conv(sp, c, b, args.n)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}"
+            print(f"| valid b{b} {sp[0]}^3 C{c} | {cell} |", flush=True)
+        # single blocked SAME conv (pack+unpack every conv)
+        for sp, c, b, blocks in (
+                ((128, 128, 128), 32, 2, (32, 32, 32)),
+                ((128, 128, 128), 32, 4, (32, 32, 32)),
+                ((128, 128, 128), 32, 2, (16, 16, 16)),
+                ((64, 64, 64), 64, 2, (32, 32, 32))):
+            flops = 2 * b * int(np.prod(sp)) * c * c * 27
+            try:
+                dt, _, _ = bench_blocked_conv(sp, c, b, args.n, blocks)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}"
+            print(f"| blocked b{b} {sp[0]}^3 C{c} bs{blocks[0]} | {cell} |",
+                  flush=True)
+        # 2-conv stage: blocked (pack amortized) vs XLA pair vs Pallas pair
+        for sp, c, b, blocks in (
+                ((128, 128, 128), 32, 2, (32, 32, 32)),
+                ((128, 128, 128), 32, 4, (32, 32, 32)),
+                ((64, 64, 64), 64, 2, (32, 32, 32))):
+            flops = 2 * 2 * b * int(np.prod(sp)) * c * c * 27
+            for tag, fn in (
+                    ("stage-blocked", lambda: bench_blocked_stage(
+                        sp, c, b, args.n, blocks)),
+                    ("stage-xla", lambda: bench_xla_stage(sp, c, b, args.n)),
+                    ("stage-pallas", lambda: bench_xla_stage(
+                        sp, c, b, args.n, pallas=True))):
+                try:
+                    dt, _, _ = fn()
+                    cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+                except Exception as e:
+                    cell = f"FAIL:{type(e).__name__}"
+                print(f"| {tag} b{b} {sp[0]}^3 C{c} | {cell} |", flush=True)
 
     if args.mode in ("split", "all"):
         check_split_correct()
