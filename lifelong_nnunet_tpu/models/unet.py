@@ -195,17 +195,56 @@ class ConvNormAct(nn.Module):
             and x.shape[-1] <= 64 and self.features <= 64
 
 
+class _BlockParams(nn.Module):
+    """Parameter holder reproducing ConvNormAct's scope layout
+    (Conv_0/{kernel,bias} + InstanceNorm_0/{scale,bias}) so stage-level
+    fused routes (blocked_stage) keep the exact checkpoint tree."""
+    kshape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w = _ConvParams(self.kshape, name="Conv_0")()
+        s, o = _INParams(self.features, name="InstanceNorm_0")()
+        return w, s, o
+
+
 class ConvStage(nn.Module):
-    """Two ConvNormAct blocks; the first may be strided (downsampling)."""
+    """Two ConvNormAct blocks; the first may be strided (downsampling).
+
+    ``blocked_conv=True`` routes big-volume 3x3x3 stages through
+    ``ops/blocked_conv.blocked_stage``: both convs run as VALID convs over
+    W-whole anisotropic blocks (see blocked_conv.aniso_blocks), multiplying
+    the conv's effective batch into XLA's fast regime while the pack stays
+    on major axes.  Numerically identical to the ConvNormAct pair (exact
+    InstanceNorm stats; conv bias absorbed by IN like the Pallas path) and
+    differentiable (pure XLA ops).  Param tree unchanged (_BlockParams)."""
     features: int
     kernel: Sequence[int]
     first_stride: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     pallas_conv: bool = False
     int8_min_ch: int = 0
+    blocked_conv: bool = False
 
     @nn.compact
     def __call__(self, x):
+        plan = self._blocked_plan(x)
+        if plan is not None:
+            mode, arg = plan
+            kshape1 = tuple(self.kernel) + (x.shape[-1], self.features)
+            kshape2 = tuple(self.kernel) + (self.features, self.features)
+            w1, s1, o1 = _BlockParams(kshape1, self.features, name="block0")()
+            w2, s2, o2 = _BlockParams(kshape2, self.features, name="block1")()
+            if mode == "packed":
+                from ..ops.pallas.block_pack import packed_stage
+                return packed_stage(x, w1, s1, o1, w2, s2, o2, bs=arg,
+                                    out_dtype=self.dtype,
+                                    stride1=tuple(self.first_stride))
+            from ..ops.blocked_conv import blocked_stage
+            return blocked_stage(x, w1, s1, o1, w2, s2, o2,
+                                 blocks=arg, out_dtype=self.dtype,
+                                 stride1=tuple(self.first_stride))
         ones = (1,) * len(self.kernel)
         x = ConvNormAct(self.features, self.kernel, self.first_stride, self.dtype,
                         pallas_conv=self.pallas_conv,
@@ -214,6 +253,38 @@ class ConvStage(nn.Module):
                         pallas_conv=self.pallas_conv,
                         int8_min_ch=self.int8_min_ch, name="block1")(x)
         return x
+
+    def _blocked_plan(self, x):
+        """(mode, arg) routing decision: ("packed", bs) = DMA pack + fast-
+        regime VALID convs (TPU; inference-only until the pack VJP lands);
+        ("xla", blocks) = the pure-XLA blocked_stage (non-TPU — keeps the
+        route's math covered by the CPU suite).  None = ConvNormAct pair."""
+        if not (self.blocked_conv and x.ndim == 5
+                and tuple(self.kernel) == (3, 3, 3)
+                and all(st in (1, 2) for st in self.first_stride)):
+            return None
+        if self.int8_min_ch > 0 and \
+                min(x.shape[-1], self.features) >= self.int8_min_ch:
+            return None                       # int8 route wins (inference)
+        if jax.devices()[0].platform == "tpu":
+            # measured regime (results/r4/stage_scan_packed.log): the win
+            # lives at C<=64 big-volume stages with cubic 32/16 blocks and
+            # uniform stride; everything else stays on the Pallas/XLA pair
+            if tuple(self.first_stride) not in ((1, 1, 1), (2, 2, 2)) \
+                    or max(x.shape[-1], self.features) > 64:
+                return None
+            from ..ops.pallas.block_pack import pick_bs
+            bs = pick_bs(x.shape[1:4])
+            if bs is not None and int(np.prod(
+                    [s // bs for s in x.shape[1:4]])) * x.shape[0] >= 16:
+                return ("packed", bs)
+            return None
+        from ..ops.blocked_conv import aniso_blocks, stride_ok
+        plan = aniso_blocks(x.shape[1:4], tuple(self.first_stride))
+        if plan is None or not stride_ok(x.shape[1:4], plan,
+                                         tuple(self.first_stride)):
+            return None
+        return ("xla", plan)
 
 
 class GenericUNet(nn.Module):
@@ -238,6 +309,10 @@ class GenericUNet(nn.Module):
     # inference-only: run stages with min(Cin,Cout) >= this through int8
     # dynamic quantization (0 = off); opt in via LNN_INT8_CONV=<N>
     int8_min_ch: int = 0
+    # route big-volume 3x3x3 stages through the W-whole blocked-stage form
+    # (ops/blocked_conv) — differentiable, exact, param-tree-identical; see
+    # ConvStage.  Opt in via LNN_BLOCKED_CONV=1 until chip-measured.
+    blocked_conv: bool = False
 
     @property
     def num_pool(self):
@@ -274,7 +349,8 @@ class GenericUNet(nn.Module):
             stride = (1,) * dim if s == 0 else tuple(self.pool_op_kernel_sizes[s - 1])
             h = stage_cls(self.stage_features(s), self.conv_kernel_sizes[s], stride,
                           self.dtype, pallas_conv=self.pallas_conv,
-                          int8_min_ch=self.int8_min_ch, name=f"enc{s}")(h)
+                          int8_min_ch=self.int8_min_ch,
+                          blocked_conv=self.blocked_conv, name=f"enc{s}")(h)
             taps[f"enc{s}"] = h
             skips.append(h)
         # bottleneck
@@ -282,7 +358,8 @@ class GenericUNet(nn.Module):
                       self.conv_kernel_sizes[self.num_pool],
                       tuple(self.pool_op_kernel_sizes[-1]),
                       self.dtype, pallas_conv=self.pallas_conv,
-                      int8_min_ch=self.int8_min_ch, name="bottleneck")(h)
+                      int8_min_ch=self.int8_min_ch,
+                      blocked_conv=self.blocked_conv, name="bottleneck")(h)
         taps["bottleneck"] = h
         # decoder + seg heads
         seg_outputs = []
@@ -298,7 +375,8 @@ class GenericUNet(nn.Module):
             h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
             h = stage_cls(feats, self.conv_kernel_sizes[self.num_pool - 1 - d],
                           (1,) * dim, self.dtype,
-                          pallas_conv=self.pallas_conv, name=f"dec{d}")(h)
+                          pallas_conv=self.pallas_conv,
+                          blocked_conv=self.blocked_conv, name=f"dec{d}")(h)
             taps[f"dec{d}"] = h
             logits = nn.Conv(self.num_classes, kernel_size=(1,) * dim,
                              dtype=self.dtype, param_dtype=jnp.float32,
@@ -333,6 +411,12 @@ def maybe_pallas_conv(model):
     int8_min = int(os.environ.get("LNN_INT8_CONV", "0") or 0)
     if int8_min > 0 and hasattr(model, "int8_min_ch"):
         model = model.clone(int8_min_ch=int8_min)
+    # W-whole blocked-stage route (ops/blocked_conv): big-volume 3x3x3
+    # stages as VALID convs over anisotropic blocks.  LNN_BLOCKED_CONV=1
+    # opts in (off by default until chip-measured e2e).
+    if os.environ.get("LNN_BLOCKED_CONV", "0") == "1" \
+            and hasattr(model, "blocked_conv"):
+        model = model.clone(blocked_conv=True)
     return model
 
 

@@ -217,3 +217,45 @@ def blocked_stage(x, w1, scale1, offset1, w2, scale2, offset2,
     z2 = _in_lrelu(y2, rep(s2), rep(ss2), nvox2, scale2, offset2,
                    negative_slope, epsilon, dt)
     return unblock(z2, grid)
+
+
+def aniso_blocks(spatial, strides=(1, 1, 1), target: int = 32,
+                 min_grid: int = 4):
+    """W-whole anisotropic blocking plan: split only D/H, keep W intact.
+
+    The isotropic pack lost its regime gain to XLA's minor-dim data movement
+    (the W-axis halo concat moves 64-byte slivers and the pack transpose
+    touches the minor dims — results/r4/stage_scan_blocked.log).  Keeping W
+    whole makes every halo concat a contiguous >=8KB plane copy and the pack
+    transpose a major-axis permutation, while still multiplying the conv's
+    effective batch by (D/bd)*(H/bh).
+
+    Returns (bd, bh, W) or None when no useful blocking exists (axis not
+    divisible, stride-2 axis without an even block, or too few blocks for
+    the regime change to pay for the pack)."""
+    D, H, W = spatial
+
+    def pick(s, st):
+        # largest PROPER divisor <= target: halo overhead per axis is
+        # (b+2)/b, so bigger blocks are cheaper; blocks beyond target stop
+        # helping the batch-regime change that motivates the pack.  Falls
+        # back to the whole axis (no split) only when nothing divides it.
+        best = None
+        for b in range(8, min(s - 1, target) + 1):
+            if s % b or (st == 2 and b % 2):
+                continue
+            if best is None or b > best:
+                best = b
+        if best is None and 8 <= s <= target and not (st == 2 and s % 2):
+            best = s
+        return best
+
+    bd = pick(D, strides[0])
+    bh = pick(H, strides[1])
+    if bd is None or bh is None:
+        return None
+    if (D // bd) * (H // bh) < min_grid:
+        return None
+    if strides[2] == 2 and W % 2:
+        return None
+    return (bd, bh, W)

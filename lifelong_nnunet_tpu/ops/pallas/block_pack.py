@@ -1,0 +1,191 @@
+"""DMA block pack/unpack: move big-volume convs into XLA's fast regime.
+
+Measured chain of evidence (RESULTS.md round 4, results/r4/stage_scan_*):
+  * XLA's 3x3x3 conv at C=32 runs at ~10-12 TFLOP/s on [b2-4, 128^3] and on
+    W-whole anisotropic blocks, but at **51-57 TFLOP/s** on [b128+, 34^3]
+    VALID blocks — the fast regime needs small CUBIC windows at large batch.
+  * Every XLA-level pack into that layout (reshape+concat halo packing,
+    gather-split) loses the whole gain: XLA materializes the minor-dim data
+    movement at ~18 GB/s.
+  * The Pallas fused im2col kernel (ops/pallas/conv3d) is capped near
+    15 TFLOP/s by VMEM col-assembly traffic (32 FLOP/byte of assembly).
+
+Conclusion implemented here: do the blocking with DMA — an overlapping-
+window copy is addressing, not arithmetic.  ``pack_blocks`` copies halo'd
+[bs+2]^3 windows out of the padded volume into a [n_blocks, bs+2, bs+2, We,
+C] array at HBM bandwidth (~0.5 GB moved per CT stage-0 conv, ~1 ms);
+``unpack_blocks`` scatters VALID conv outputs back.  The conv itself stays
+an XLA op on the blocked layout, where it reaches the 51+ TFLOP/s regime.
+
+DMA window alignment (Mosaic tiled HBM memrefs, established empirically in
+ops/pallas/conv3d): the minor dim must be copied at full extent (C here —
+always true channels-last), the second-minor dim (W) needs 8-aligned
+starts/extents, higher dims are unconstrained.  Hence:
+  * the volume is pre-padded by +1 low on every axis (so window starts are
+    block-aligned) — W starts bs*k are 8-aligned for bs % 8 == 0;
+  * the W fetch extent is rounded up to 8 (We = round8(bs+2), e.g. 40 for
+    bs=32) — the extra columns carry junk that the conv removes with
+    negative high padding on W (lax.conv padding (0, bs+2-We), zero extra
+    FLOPs);
+  * D/H windows are exact (bs+2) — no alignment constraint, no junk.
+
+Reference counterpart: none — this is TPU layout engineering for the
+upstream nnU-Net conv stages (generic_UNet StackedConvLayers at CT scale).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
+def plan(spatial, bs: int) -> bool:
+    """True when [D, H, W] can be packed at block size ``bs``."""
+    return (bs % 8 == 0 and all(s % bs == 0 for s in spatial)
+            and all(s >= bs for s in spatial))
+
+
+def _pack_kernel(xp_hbm, out_ref, sem, *, bs, We, nd, nh, nw):
+    """Grid (B, nd, nh, nw): DMA one halo'd window into the out block."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    k = pl.program_id(3)
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(i * bs, bs + 2), pl.ds(j * bs, bs + 2),
+                  pl.ds(k * bs, We), :],
+        out_ref.at[0], sem)
+    dma.start()
+    dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("bs",))
+def pack_blocks(x, bs: int = 32):
+    """[B, D, H, W, C] -> halo'd blocks [B*nd*nh*nw, bs+2, bs+2, We, C].
+
+    We = round8(bs+2); W columns [bs+2, We) are junk (feed the conv with
+    ``conv_pads(bs)`` to ignore them).  Block order is row-major
+    (b, d, h, w) — ``unpack_blocks`` inverts it."""
+    B, D, H, W, C = x.shape
+    assert plan((D, H, W), bs), (x.shape, bs)
+    nd, nh, nw = D // bs, H // bs, W // bs
+    We = _round8(bs + 2)
+    # +1 low pad on each axis aligns window starts to block boundaries;
+    # the W high pad covers the rounded fetch extent of the last block
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, We - bs - 1), (0, 0)))
+    nb = B * nd * nh * nw
+
+    kern = functools.partial(_pack_kernel, bs=bs, We=We, nd=nd, nh=nh, nw=nw)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nd, nh, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, bs + 2, bs + 2, We, C),
+            lambda b, i, j, k: (((b * nd + i) * nh + j) * nw + k, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, bs + 2, bs + 2, We, C), x.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )(xp)
+
+
+def conv_pads(bs: int):
+    """Conv padding config consuming ``pack_blocks`` output exactly: VALID
+    on D/H, negative high padding trims the junk W columns (no FLOPs)."""
+    We = _round8(bs + 2)
+    return ((0, 0), (0, 0), (0, (bs + 2) - We))
+
+
+def _unpack_kernel(y_ref, out_hbm, sem, *, bs, nd, nh, nw):
+    """Grid (B, nd, nh, nw): DMA one VALID block to its volume window."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    k = pl.program_id(3)
+    dma = pltpu.make_async_copy(
+        y_ref.at[0],
+        out_hbm.at[b, pl.ds(i * bs, bs), pl.ds(j * bs, bs),
+                   pl.ds(k * bs, bs), :],
+        sem)
+    dma.start()
+    dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("B", "grid"))
+def unpack_blocks(y, B: int, grid):
+    """Blocked VALID outputs [B*nd*nh*nw, bs, bs, bs, C] -> [B, D, H, W, C]
+    (inverse of pack_blocks block order)."""
+    nd, nh, nw = grid
+    nb, bs, _, _, C = y.shape
+    assert nb == B * nd * nh * nw, (y.shape, B, grid)
+
+    kern = functools.partial(_unpack_kernel, bs=bs, nd=nd, nh=nh, nw=nw)
+    return pl.pallas_call(
+        kern,
+        grid=(B, nd, nh, nw),
+        in_specs=[pl.BlockSpec(
+            (1, bs, bs, bs, C),
+            lambda b, i, j, k: (((b * nd + i) * nh + j) * nw + k, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, nd * bs, nh * bs, nw * bs, C), y.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )(y)
+
+
+def pick_bs(spatial, prefer=(32, 16, 8)):
+    """Largest supported block size dividing every axis, or None."""
+    for bs in prefer:
+        if plan(spatial, bs):
+            return bs
+    return None
+
+
+def packed_stage(x, w1, scale1, offset1, w2, scale2, offset2,
+                 negative_slope: float = 0.01, epsilon: float = 1e-5,
+                 bs: int = 32, out_dtype=None, stride1=(1, 1, 1)):
+    """Two fused (conv3x3 -> InstanceNorm -> LeakyReLU) layers with each
+    conv running VALID over DMA-packed [bs+2]^3 blocks (the fast-regime
+    layout).  Numerically identical to the direct pair: the VALID outputs
+    partition the volume, so the InstanceNorm stats are exact, and the halo
+    supplies each block's true neighbor/zero border (symmetric k//2
+    padding semantics, incl. the stride-2 downsampling grid — see
+    ops/blocked_conv.stride_ok).
+
+    x: [B, D, H, W, Cin]; w1: [3,3,3,Cin,Cm]; w2: [3,3,3,Cm,Cout].
+    stride1 in {1,2}^3 (the encoder downsampling conv)."""
+    from jax import lax
+    from ..blocked_conv import _blocked_stats, _in_lrelu
+    dt = out_dtype or x.dtype
+    B = x.shape[0]
+
+    def conv_blocked(v, w, strides, bs):
+        grid = tuple(s // bs for s in v.shape[1:4])
+        xb = pack_blocks(v, bs)
+        y = lax.conv_general_dilated(
+            xb, w.astype(v.dtype), tuple(strides), conv_pads(bs),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y, grid
+
+    def norm_act(yb, grid, scale, offset):
+        nvox = float(np.prod(yb.shape[1:4]) * np.prod(grid))
+        s, ss = _blocked_stats(yb, grid, B)
+        nb = int(np.prod(grid))
+        rep = lambda a: jnp.repeat(a, nb, axis=0)
+        return _in_lrelu(yb, rep(s), rep(ss), nvox, scale, offset,
+                         negative_slope, epsilon, dt)
+
+    y1, grid1 = conv_blocked(x, w1, stride1, bs)
+    z1 = unpack_blocks(norm_act(y1, grid1, scale1, offset1), B, grid1)
+    bs2 = pick_bs(z1.shape[1:4])
+    y2, grid2 = conv_blocked(z1, w2, (1, 1, 1), bs2)
+    z2 = unpack_blocks(norm_act(y2, grid2, scale2, offset2), B, grid2)
+    return z2

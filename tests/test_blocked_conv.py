@@ -135,3 +135,56 @@ def test_pick_blocks():
     assert pick_blocks((128, 128, 128)) == (32, 32, 32)
     assert pick_blocks((96, 160, 160)) == (32, 32, 32)
     assert pick_blocks((28, 40, 40)) is None  # nothing useful to split
+
+
+def test_conv_same_parity_w_whole(data):
+    # W-whole anisotropic blocks: the W axis is unsplit (n=1), so its halo
+    # degenerates to the SAME zero-pad — the route the models use
+    _, x, w = data
+    ref = _conv(x, w)
+    got = blocked_conv_same(x, w, blocks=(16, 16, 64))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_aniso_blocks_planner():
+    from lifelong_nnunet_tpu.ops.blocked_conv import aniso_blocks
+    # CT fullres stage geometry: split D/H at 32, keep W whole
+    assert aniso_blocks((128, 128, 128)) == (32, 32, 128)
+    assert aniso_blocks((64, 64, 64)) == (32, 32, 64)
+    # stride-2 axes need even blocks
+    assert aniso_blocks((128, 128, 128), (2, 2, 2)) == (32, 32, 128)
+    # small volumes still split if divisible; degenerate ones don't
+    assert aniso_blocks((20, 24, 20)) == (10, 12, 20)
+    assert aniso_blocks((8, 8, 8)) is None
+
+
+@pytest.mark.parametrize("st1", [(1, 1, 1), (2, 2, 2)])
+def test_unet_blocked_conv_route_parity(st1):
+    """GenericUNet(blocked_conv=True) == baseline on identical params.
+
+    The blocked route drops the conv bias (absorbed exactly by IN, like the
+    Pallas path), so biases are zeroed for the comparison; shapes chosen so
+    aniso_blocks engages on the first stages ((24,24,16) -> blocks
+    (12,12,16), grid 4)."""
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+    m = GenericUNet(num_classes=3,
+                    pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+                    conv_kernel_sizes=((3, 3, 3),) * 3,
+                    base_num_features=4, max_num_features=16,
+                    deep_supervision=False)
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(2, 24, 24, 16, 1)),
+                    jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, v: jnp.zeros_like(v)
+        if (path[-2].key == "Conv_0" and path[-1].key == "bias") else v,
+        params)
+    mb = m.clone(blocked_conv=True)
+    # the route must actually engage on the first encoder stage
+    from lifelong_nnunet_tpu.ops.blocked_conv import aniso_blocks
+    assert aniso_blocks((24, 24, 16)) is not None
+    ref = m.apply(params, x)[0]
+    got = mb.apply(params, x)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)

@@ -50,7 +50,10 @@ def _time_scan(make_fn, x_shape, dtype, n, tag=""):
     f1 = jax.jit(make_fn(1))
     fn = jax.jit(make_fn(n))
     rng = np.random.RandomState(17)
-    xs = [jnp.asarray(rng.normal(size=x_shape), dtype) for _ in range(8)]
+    # 4 distinct arrays suffice: the relay dedups (program, args) PAIRS, so
+    # reusing x between f1 and fn is safe — and big-shape cases upload
+    # hundreds of MB per array through the relay, so fewer is much faster
+    xs = [jnp.asarray(rng.normal(size=x_shape), dtype) for _ in range(4)]
     _sync(f1(xs[0]))          # compile+warm (never timed)
     _sync(fn(xs[0]))
     t1s, tns = [], []
@@ -59,7 +62,7 @@ def _time_scan(make_fn, x_shape, dtype, n, tag=""):
         _sync(f1(xs[1 + r]))
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        _sync(fn(xs[4 + r]))
+        _sync(fn(xs[1 + r]))
         tns.append(time.perf_counter() - t0)
     t1 = float(np.median(t1s))
     tn = float(np.median(tns))
@@ -299,10 +302,101 @@ def bench_valid_conv(spatial, c, b, n: int):
     return dt, flops
 
 
+def bench_packed_conv_regime(bs: int, c: int, nb: int, n: int):
+    """Conv rate ON the packed layout [nb, bs+2, bs+2, We, C] with the
+    negative-W-pad config (ops/pallas/block_pack.conv_pads) — does XLA's
+    fast small-cubic-window regime survive the junk columns + neg pad?
+    The chain re-pads outputs to input geometry (cost counted; ~0.1 of the
+    conv at the fast rate)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.ops.pallas.block_pack import conv_pads, _round8
+
+    We = _round8(bs + 2)
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(27 * c)), size=(3, 3, 3, c, c)), jnp.bfloat16)
+    shape = (nb, bs + 2, bs + 2, We, c)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = lax.conv_general_dilated(
+                    x, w, (1, 1, 1), conv_pads(bs),
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
+                return jnp.pad(y, ((0, 0), (1, 1), (1, 1),
+                                   (1, We - bs - 1), (0, 0))), None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    flops = 2 * nb * bs ** 3 * c * c * 27
+    dt, t1, tn = _time_scan(make_fn, shape, jnp.bfloat16, n)
+    return dt, flops
+
+
+def bench_pack_roundtrip(spatial, c, b, bs, n: int):
+    """pack_blocks -> core-slice -> unpack_blocks chained: the DMA cost of
+    one full pack/unpack cycle.  Returns (dt, bytes_moved_per_iter)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.ops.pallas.block_pack import (
+        pack_blocks, unpack_blocks)
+
+    shape = (b,) + tuple(spatial) + (c,)
+    grid = tuple(s // bs for s in spatial)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                xb = pack_blocks(x, bs)
+                core = xb[:, 1:-1, 1:-1, 1:bs + 1, :]
+                return unpack_blocks(core, b, grid), None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    halo = (bs + 2) ** 2 * (bs + 8 - (bs + 2) % 8 if (bs + 2) % 8 else bs + 2)
+    nbytes = int(np.prod(shape)) * 2  # bf16
+    dt, t1, tn = _time_scan(make_fn, shape, jnp.bfloat16, n)
+    return dt, nbytes
+
+
+def bench_packed_stage(spatial, c, b, n: int, bs):
+    """2-conv stage via block_pack.packed_stage (DMA pack, fast-regime
+    convs) — the contender against stage-pallas/stage-xla."""
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.ops.pallas.block_pack import packed_stage
+
+    rng = np.random.RandomState(3)
+    w1 = jnp.asarray(rng.normal(scale=1.0 / np.sqrt(27 * c),
+                                size=(3, 3, 3, c, c)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(scale=1.0 / np.sqrt(27 * c),
+                                size=(3, 3, 3, c, c)), jnp.bfloat16)
+    sc = jnp.ones((c,), jnp.float32)
+    of = jnp.zeros((c,), jnp.float32)
+    shape = (b,) + tuple(spatial) + (c,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = packed_stage(x, w1, sc, of, w2, sc, of, bs=bs)
+                return y, None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="all",
-                    choices=["blocks", "shapes", "split", "blocked", "all"])
+                    choices=["blocks", "shapes", "split", "blocked", "aniso",
+                             "packed", "all"])
     ap.add_argument("--n", type=int, default=8)
     args = ap.parse_args()
 
@@ -402,6 +496,104 @@ def main():
                 except Exception as e:
                     cell = f"FAIL:{type(e).__name__}"
                 print(f"| {tag} b{b} {sp[0]}^3 C{c} | {cell} |", flush=True)
+
+    if args.mode in ("packed", "all"):
+        # DMA block pack (ops/pallas/block_pack): does the Pallas pack hold
+        # HBM bandwidth, and does the fast conv regime survive the packed
+        # layout's junk W columns + negative padding?
+        print("\n## DMA-packed blocked conv (Pallas pack + XLA VALID conv)")
+        print("| case | ms (T/s or GB/s) |", flush=True)
+        print("|---|---|")
+        for bs, c, nb in ((32, 32, 128), (32, 32, 256), (16, 32, 1024),
+                          (32, 64, 16)):
+            try:
+                dt, flops = bench_packed_conv_regime(bs, c, nb, args.n)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f} T/s)"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}"
+            print(f"| packconv nb{nb} bs{bs} C{c} | {cell} |", flush=True)
+        for sp, c, b, bs in (((128, 128, 128), 32, 2, 32),
+                             ((128, 128, 128), 32, 2, 16),
+                             ((64, 64, 64), 64, 2, 32)):
+            try:
+                dt, nbytes = bench_pack_roundtrip(sp, c, b, bs, args.n)
+                cell = (f"{dt*1e3:.2f} "
+                        f"({2 * nbytes / dt / 1e9:.0f} GB/s eff)")
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}"
+            print(f"| pack+unpack b{b} {sp[0]}^3 C{c} bs{bs} | {cell} |",
+                  flush=True)
+        for sp, c, b, bs in (((128, 128, 128), 32, 2, 32),
+                             ((128, 128, 128), 32, 4, 32),
+                             ((128, 128, 128), 32, 2, 16),
+                             ((64, 64, 64), 64, 2, 32)):
+            flops = 2 * 2 * b * int(np.prod(sp)) * c * c * 27
+            try:
+                dt, _, _ = bench_packed_stage(sp, c, b, args.n, bs)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f} T/s)"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}"
+            print(f"| stage-packed b{b} {sp[0]}^3 C{c} bs{bs} | {cell} |",
+                  flush=True)
+
+    if args.mode in ("aniso", "all"):
+        # W-whole anisotropic blocks: split only D/H, keep W intact.  The
+        # isotropic pack lost to XLA's minor-dim data movement (the W-axis
+        # halo concat moves 64-byte slivers; the pack transpose touches the
+        # minor dims — results/r4/stage_scan_blocked.log).  With blocks
+        # (bd, bh, W): halo concats move contiguous >=8KB planes, the pack
+        # transpose permutes MAJOR axes only, and _halo_axis on the W axis
+        # (n=1) degenerates to the SAME zero-pad.  Open question this mode
+        # answers: does XLA's conv reach the fast regime on [b*nd*nh,
+        # bd+2, bh+2, W+2] shapes, and is the W-whole pack actually cheap?
+        print("\n## W-whole anisotropic blocked conv, true per-iter")
+        print("| case | ms (T/s) |", flush=True)
+        print("|---|---|")
+        # regime ceiling: bare VALID conv at the exact packed shapes
+        for sp, c, b in (
+                ((34, 34, 130), 32, 32),    # 128^3 b2, blocks (32,32,128)
+                ((34, 34, 130), 32, 64),    # 128^3 b4
+                ((18, 18, 130), 32, 128),   # 128^3 b2, blocks (16,16,128)
+                ((34, 66, 130), 32, 16),    # 128^3 b2, blocks (32,64,128)
+                ((34, 34, 66), 64, 8),      # 64^3 b2, blocks (32,32,64)
+                ((18, 18, 66), 64, 32)):    # 64^3 b2, blocks (16,16,64)
+            try:
+                dt, flops = bench_valid_conv(sp, c, b, args.n)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}"
+            print(f"| valid b{b} {sp[0]}x{sp[1]}x{sp[2]} C{c} | {cell} |",
+                  flush=True)
+        # single blocked SAME conv (pack+unpack every conv)
+        for sp, c, b, blocks in (
+                ((128, 128, 128), 32, 2, (32, 32, 128)),
+                ((128, 128, 128), 32, 4, (32, 32, 128)),
+                ((128, 128, 128), 32, 2, (16, 16, 128)),
+                ((128, 128, 128), 32, 2, (32, 64, 128)),
+                ((64, 64, 64), 64, 2, (32, 32, 64)),
+                ((64, 64, 64), 64, 2, (16, 16, 64))):
+            flops = 2 * b * int(np.prod(sp)) * c * c * 27
+            try:
+                dt, _, _ = bench_blocked_conv(sp, c, b, args.n, blocks)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}"
+            print(f"| blocked b{b} {sp[0]}^3 C{c} bs{blocks[0]}x{blocks[1]}"
+                  f"x{blocks[2]} | {cell} |", flush=True)
+        # 2-conv stage in blocked layout (pack amortized over the pair)
+        for sp, c, b, blocks in (
+                ((128, 128, 128), 32, 2, (32, 32, 128)),
+                ((128, 128, 128), 32, 4, (32, 32, 128)),
+                ((128, 128, 128), 32, 2, (16, 16, 128)),
+                ((64, 64, 64), 64, 2, (32, 32, 64))):
+            flops = 2 * 2 * b * int(np.prod(sp)) * c * c * 27
+            try:
+                dt, _, _ = bench_blocked_stage(sp, c, b, args.n, blocks)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}"
+            print(f"| stage-blocked b{b} {sp[0]}^3 C{c} bs{blocks[0]}x"
+                  f"{blocks[1]}x{blocks[2]} | {cell} |", flush=True)
 
     if args.mode in ("split", "all"):
         check_split_correct()
