@@ -139,7 +139,12 @@ class ConvNormAct(nn.Module):
     min(Cin, Cout) >= N through a dynamically-quantized int8 conv (see
     _int8_conv) — the mixed-precision path VERDICT r2 #4 asks to probe.
     Checked before the Pallas route so the two compose per-stage: int8 for
-    the wide stages, the fused bf16 kernel for eligible narrow ones."""
+    the wide stages, the fused bf16 kernel for eligible narrow ones.
+
+    ``blocked_conv=True`` routes big-volume C<=64 3x3x3 stages through the
+    DMA-packed fast-regime conv (ops/pallas/block_pack) — see _packed_bs;
+    checked before the Pallas im2col route, same param tree, same
+    bias-absorbed-by-IN semantics, differentiable (custom VJP)."""
     features: int
     kernel: Sequence[int]
     stride: Sequence[int]
@@ -147,6 +152,7 @@ class ConvNormAct(nn.Module):
     negative_slope: float = 0.01
     pallas_conv: bool = False
     int8_min_ch: int = 0
+    blocked_conv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -156,6 +162,16 @@ class ConvNormAct(nn.Module):
             y = _int8_conv(x, w, self.stride)
             y = InstanceNorm(dtype=self.dtype, name="InstanceNorm_0")(y)
             return nn.leaky_relu(y, self.negative_slope)
+        bs = self._packed_bs(x)
+        if bs is not None:
+            from ..ops.pallas.block_pack import packed_conv_in_lrelu
+            kshape = tuple(self.kernel) + (x.shape[-1], self.features)
+            w = _ConvParams(kshape, name="Conv_0")()
+            scale, offset = _INParams(self.features, name="InstanceNorm_0")()
+            return packed_conv_in_lrelu(x, w, scale, offset,
+                                        self.negative_slope,
+                                        out_dtype=self.dtype, bs=bs,
+                                        strides=tuple(self.stride))
         if self._use_pallas(x):
             from ..ops.pallas.conv3d import conv3d_in_lrelu
             kshape = tuple(self.kernel) + (x.shape[-1], self.features)
@@ -177,6 +193,30 @@ class ConvNormAct(nn.Module):
                 and min(x.shape[-1], self.features) >= self.int8_min_ch
                 and x.ndim == 5)
 
+    def _packed_bs(self, x):
+        """Block size for the DMA-packed fast-regime route
+        (ops/pallas/block_pack.packed_conv_in_lrelu), or None.
+
+        Measured regime (results/r4/stage_scan_packed.log): the win lives
+        at C<=64 big-volume 3x3x3 stages split into >=16 cubic 32/16
+        blocks with uniform stride; everything else stays on the Pallas
+        im2col kernel / XLA composition.  Differentiable (custom VJP), so
+        training may route here too."""
+        if not (self.blocked_conv and x.ndim == 5
+                and tuple(self.kernel) == (3, 3, 3)
+                and tuple(self.stride) in ((1, 1, 1), (2, 2, 2))
+                and max(x.shape[-1], self.features) <= 64):
+            return None
+        import os
+        if jax.devices()[0].platform != "tpu" \
+                and os.environ.get("LNN_BLOCKED_FORCE", "0") != "1":
+            return None                      # FORCE=1: CPU tests (interpret)
+        from ..ops.pallas.block_pack import pick_bs
+        # bs=8 blocks read ~3x extra bytes (halo+junk) — not worth it; the
+        # small-patch families (hippocampus) stay on the Pallas im2col path
+        return pick_bs(x.shape[1:4], prefer=(32, 16), batch=x.shape[0],
+                       min_blocks=16)
+
     def _use_pallas(self, x) -> bool:
         if not (self.pallas_conv and self.dtype == jnp.bfloat16
                 and x.ndim == 5):
@@ -195,30 +235,8 @@ class ConvNormAct(nn.Module):
             and x.shape[-1] <= 64 and self.features <= 64
 
 
-class _BlockParams(nn.Module):
-    """Parameter holder reproducing ConvNormAct's scope layout
-    (Conv_0/{kernel,bias} + InstanceNorm_0/{scale,bias}) so stage-level
-    fused routes (blocked_stage) keep the exact checkpoint tree."""
-    kshape: tuple
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        w = _ConvParams(self.kshape, name="Conv_0")()
-        s, o = _INParams(self.features, name="InstanceNorm_0")()
-        return w, s, o
-
-
 class ConvStage(nn.Module):
-    """Two ConvNormAct blocks; the first may be strided (downsampling).
-
-    ``blocked_conv=True`` routes big-volume 3x3x3 stages through
-    ``ops/blocked_conv.blocked_stage``: both convs run as VALID convs over
-    W-whole anisotropic blocks (see blocked_conv.aniso_blocks), multiplying
-    the conv's effective batch into XLA's fast regime while the pack stays
-    on major axes.  Numerically identical to the ConvNormAct pair (exact
-    InstanceNorm stats; conv bias absorbed by IN like the Pallas path) and
-    differentiable (pure XLA ops).  Param tree unchanged (_BlockParams)."""
+    """Two ConvNormAct blocks; the first may be strided (downsampling)."""
     features: int
     kernel: Sequence[int]
     first_stride: Sequence[int]
@@ -229,62 +247,16 @@ class ConvStage(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        plan = self._blocked_plan(x)
-        if plan is not None:
-            mode, arg = plan
-            kshape1 = tuple(self.kernel) + (x.shape[-1], self.features)
-            kshape2 = tuple(self.kernel) + (self.features, self.features)
-            w1, s1, o1 = _BlockParams(kshape1, self.features, name="block0")()
-            w2, s2, o2 = _BlockParams(kshape2, self.features, name="block1")()
-            if mode == "packed":
-                from ..ops.pallas.block_pack import packed_stage
-                return packed_stage(x, w1, s1, o1, w2, s2, o2, bs=arg,
-                                    out_dtype=self.dtype,
-                                    stride1=tuple(self.first_stride))
-            from ..ops.blocked_conv import blocked_stage
-            return blocked_stage(x, w1, s1, o1, w2, s2, o2,
-                                 blocks=arg, out_dtype=self.dtype,
-                                 stride1=tuple(self.first_stride))
         ones = (1,) * len(self.kernel)
         x = ConvNormAct(self.features, self.kernel, self.first_stride, self.dtype,
                         pallas_conv=self.pallas_conv,
-                        int8_min_ch=self.int8_min_ch, name="block0")(x)
+                        int8_min_ch=self.int8_min_ch,
+                        blocked_conv=self.blocked_conv, name="block0")(x)
         x = ConvNormAct(self.features, self.kernel, ones, self.dtype,
                         pallas_conv=self.pallas_conv,
-                        int8_min_ch=self.int8_min_ch, name="block1")(x)
+                        int8_min_ch=self.int8_min_ch,
+                        blocked_conv=self.blocked_conv, name="block1")(x)
         return x
-
-    def _blocked_plan(self, x):
-        """(mode, arg) routing decision: ("packed", bs) = DMA pack + fast-
-        regime VALID convs (TPU; inference-only until the pack VJP lands);
-        ("xla", blocks) = the pure-XLA blocked_stage (non-TPU — keeps the
-        route's math covered by the CPU suite).  None = ConvNormAct pair."""
-        if not (self.blocked_conv and x.ndim == 5
-                and tuple(self.kernel) == (3, 3, 3)
-                and all(st in (1, 2) for st in self.first_stride)):
-            return None
-        if self.int8_min_ch > 0 and \
-                min(x.shape[-1], self.features) >= self.int8_min_ch:
-            return None                       # int8 route wins (inference)
-        if jax.devices()[0].platform == "tpu":
-            # measured regime (results/r4/stage_scan_packed.log): the win
-            # lives at C<=64 big-volume stages with cubic 32/16 blocks and
-            # uniform stride; everything else stays on the Pallas/XLA pair
-            if tuple(self.first_stride) not in ((1, 1, 1), (2, 2, 2)) \
-                    or max(x.shape[-1], self.features) > 64:
-                return None
-            from ..ops.pallas.block_pack import pick_bs
-            bs = pick_bs(x.shape[1:4])
-            if bs is not None and int(np.prod(
-                    [s // bs for s in x.shape[1:4]])) * x.shape[0] >= 16:
-                return ("packed", bs)
-            return None
-        from ..ops.blocked_conv import aniso_blocks, stride_ok
-        plan = aniso_blocks(x.shape[1:4], tuple(self.first_stride))
-        if plan is None or not stride_ok(x.shape[1:4], plan,
-                                         tuple(self.first_stride)):
-            return None
-        return ("xla", plan)
 
 
 class GenericUNet(nn.Module):
@@ -309,9 +281,10 @@ class GenericUNet(nn.Module):
     # inference-only: run stages with min(Cin,Cout) >= this through int8
     # dynamic quantization (0 = off); opt in via LNN_INT8_CONV=<N>
     int8_min_ch: int = 0
-    # route big-volume 3x3x3 stages through the W-whole blocked-stage form
-    # (ops/blocked_conv) — differentiable, exact, param-tree-identical; see
-    # ConvStage.  Opt in via LNN_BLOCKED_CONV=1 until chip-measured.
+    # route big-volume 3x3x3 stages through the DMA-packed fast-regime conv
+    # (ops/pallas/block_pack.packed_conv_in_lrelu) — differentiable, exact,
+    # param-tree-identical; see ConvNormAct._packed_bs.  Opt in via
+    # LNN_BLOCKED_CONV=1 until chip-measured.
     blocked_conv: bool = False
 
     @property

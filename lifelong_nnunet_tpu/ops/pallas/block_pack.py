@@ -141,10 +141,15 @@ def unpack_blocks(y, B: int, grid):
     )(y)
 
 
-def pick_bs(spatial, prefer=(32, 16, 8)):
-    """Largest supported block size dividing every axis, or None."""
+def pick_bs(spatial, prefer=(32, 16, 8), batch: int = 1,
+            min_blocks: int = 1):
+    """Largest supported block size dividing every axis whose total block
+    count (batch * grid) reaches ``min_blocks`` (the fast conv regime needs
+    enough independent windows — results/r4/stage_scan_blocked.log), or
+    None."""
     for bs in prefer:
-        if plan(spatial, bs):
+        if plan(spatial, bs) and \
+                batch * int(np.prod([s // bs for s in spatial])) >= min_blocks:
             return bs
     return None
 
@@ -161,31 +166,131 @@ def packed_stage(x, w1, scale1, offset1, w2, scale2, offset2,
     ops/blocked_conv.stride_ok).
 
     x: [B, D, H, W, Cin]; w1: [3,3,3,Cin,Cm]; w2: [3,3,3,Cm,Cout].
-    stride1 in {1,2}^3 (the encoder downsampling conv)."""
-    from jax import lax
-    from ..blocked_conv import _blocked_stats, _in_lrelu
+    stride1 in {1,2}^3 (the encoder downsampling conv).  Composition of two
+    ``packed_conv_in_lrelu`` calls (each differentiable), so this is too."""
     dt = out_dtype or x.dtype
-    B = x.shape[0]
-
-    def conv_blocked(v, w, strides, bs):
-        grid = tuple(s // bs for s in v.shape[1:4])
-        xb = pack_blocks(v, bs)
-        y = lax.conv_general_dilated(
-            xb, w.astype(v.dtype), tuple(strides), conv_pads(bs),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        return y, grid
-
-    def norm_act(yb, grid, scale, offset):
-        nvox = float(np.prod(yb.shape[1:4]) * np.prod(grid))
-        s, ss = _blocked_stats(yb, grid, B)
-        nb = int(np.prod(grid))
-        rep = lambda a: jnp.repeat(a, nb, axis=0)
-        return _in_lrelu(yb, rep(s), rep(ss), nvox, scale, offset,
-                         negative_slope, epsilon, dt)
-
-    y1, grid1 = conv_blocked(x, w1, stride1, bs)
-    z1 = unpack_blocks(norm_act(y1, grid1, scale1, offset1), B, grid1)
+    z1 = packed_conv_in_lrelu(x, w1, scale1, offset1, negative_slope,
+                              epsilon, dt, bs, stride1)
     bs2 = pick_bs(z1.shape[1:4])
-    y2, grid2 = conv_blocked(z1, w2, (1, 1, 1), bs2)
-    z2 = unpack_blocks(norm_act(y2, grid2, scale2, offset2), B, grid2)
-    return z2
+    return packed_conv_in_lrelu(z1, w2, scale2, offset2, negative_slope,
+                                epsilon, dt, bs2, (1, 1, 1))
+
+
+def _conv_blocked(v, w, strides, bs):
+    """pack -> VALID conv (neg-W-pad) -> unpack: the fast-regime SAME conv.
+    v channels-last [B, D, H, W, Cin]; returns [B, D', H', W', Cout]."""
+    from jax import lax
+    grid = tuple(s // bs for s in v.shape[1:4])
+    xb = pack_blocks(v, bs)
+    yb = lax.conv_general_dilated(
+        xb, w.astype(v.dtype), tuple(strides), conv_pads(bs),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return unpack_blocks(yb, v.shape[0], grid)
+
+
+def _in_stats(y):
+    """Exact per-(B, C) mean / rsqrt-var of the conv output (f32)."""
+    yf = y.astype(jnp.float32)
+    n = float(np.prod(y.shape[1:4]))
+    mean = jnp.sum(yf, axis=(1, 2, 3)) / n
+    var = jnp.maximum(jnp.sum(jnp.square(yf), axis=(1, 2, 3)) / n
+                      - jnp.square(mean), 0.0)
+    return mean, var
+
+
+def _fused_fwd_impl(x, w, scale, offset, negative_slope, epsilon, out_dtype,
+                    bs, strides):
+    y = _conv_blocked(x, w, strides, bs)
+    mean, var = _in_stats(y)
+    inv = jax.lax.rsqrt(var + epsilon)
+    dt = out_dtype
+    mul = (inv * scale[None, :]).astype(dt)[:, None, None, None, :]
+    sub = ((mean * inv * scale[None, :]) - offset[None, :]).astype(dt)[
+        :, None, None, None, :]
+    z = y.astype(dt) * mul - sub
+    out = jnp.where(z >= 0, z, negative_slope * z)
+    return out, (y, mean, inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _fused(x, w, scale, offset, negative_slope, epsilon, out_dtype, bs,
+           strides):
+    return _fused_fwd_impl(x, w, scale, offset, negative_slope, epsilon,
+                           out_dtype, bs, strides)[0]
+
+
+def _fused_fwd(x, w, scale, offset, negative_slope, epsilon, out_dtype, bs,
+               strides):
+    out, (y, mean, inv) = _fused_fwd_impl(
+        x, w, scale, offset, negative_slope, epsilon, out_dtype, bs, strides)
+    # NOT saving `out`: the LeakyReLU mask is recomputed from (y, mean, inv,
+    # scale, offset) — a few elementwise ops instead of a second full
+    # feature map alive per block (same policy as ops/pallas/conv3d)
+    return out, (x, w, scale, offset, y, mean, inv)
+
+
+def _fused_bwd(negative_slope, epsilon, out_dtype, bs, strides, res, g):
+    """Analytic backward (mirrors ops/pallas/conv3d._fused_bwd, channels-
+    last): LeakyReLU mask -> InstanceNorm backward -> dx via the SAME
+    packed fast-regime conv with the flipped kernel (stride 1; the strided
+    downsampling dx falls back to XLA's dilated conv-grad), dw via XLA's
+    conv weight-grad lowering (its contraction runs over the huge spatial
+    dim — efficient at any C)."""
+    from jax import lax
+    x, w, scale, offset, y, mean, inv = res
+    gf = g.astype(jnp.float32)
+    yhat = (y.astype(jnp.float32) - mean[:, None, None, None, :]) \
+        * inv[:, None, None, None, :]
+    # recomputed pre-activation; sign differs from the emitted value only
+    # within rounding distance of 0 where both branches coincide
+    z = yhat * scale[None, None, None, None, :] \
+        + offset[None, None, None, None, :]
+    dz = jnp.where(z >= 0, gf, negative_slope * gf)
+    dscale = jnp.sum(dz * yhat, axis=(0, 1, 2, 3))
+    doffset = jnp.sum(dz, axis=(0, 1, 2, 3))
+    m_dz = jnp.mean(dz, axis=(1, 2, 3), keepdims=True)
+    m_dzy = jnp.mean(dz * yhat, axis=(1, 2, 3), keepdims=True)
+    gi = (scale[None, :] * inv)[:, None, None, None, :]
+    dy = (gi * (dz - m_dz - yhat * m_dzy)).astype(x.dtype)
+
+    if tuple(strides) == (1, 1, 1):
+        w_flip = jnp.flip(w, axis=(0, 1, 2)).swapaxes(-1, -2).astype(x.dtype)
+        dx = _conv_blocked(dy, w_flip, (1, 1, 1), bs)
+    else:
+        # strided downsampling: dx is the input-dilated transposed conv —
+        # take it from XLA's own conv-grad lowering (one term per strided
+        # stage; the stride-1 stages above carry the FLOPs)
+        _, pb = jax.vjp(
+            lambda xx: lax.conv_general_dilated(
+                xx, w.astype(x.dtype), tuple(strides), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC")),
+            x)
+        (dx,) = pb(dy)
+    xf = x.astype(jnp.float32)
+    _, pullback = jax.vjp(
+        lambda ww: lax.conv_general_dilated(
+            xf, ww, tuple(strides), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")),
+        w.astype(jnp.float32))
+    (dw,) = pullback(dy.astype(jnp.float32))
+    return dx, dw.astype(w.dtype), dscale, doffset
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def packed_conv_in_lrelu(x, w, scale, offset, negative_slope: float = 0.01,
+                         epsilon: float = 1e-5, out_dtype=None,
+                         bs: int = 32, strides=(1, 1, 1)):
+    """Fused ConvNormAct on the DMA-packed fast-regime layout.
+
+    Drop-in for the XLA composition in ``models/unet.ConvNormAct`` (conv
+    bias absorbed exactly by the IN mean subtraction — none taken), and for
+    ``ops/pallas/conv3d.conv3d_in_lrelu`` at big-volume shapes.  x is
+    channels-last [B, D, H, W, Cin].  Differentiable: the custom VJP runs
+    dx through the same packed conv (flipped kernel) and dw through XLA's
+    weight-grad lowering.  Requires ``plan(x spatial, bs)``; strides in
+    {1,2}^3 with uniform value (symmetric k//2 grid — blocked_conv.stride_ok
+    semantics)."""
+    return _fused(x, w, scale, offset, negative_slope, epsilon,
+                  out_dtype or x.dtype, bs, tuple(strides))

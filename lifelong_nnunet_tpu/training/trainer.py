@@ -141,6 +141,12 @@ class MultiHeadTrainer:
             # fused Pallas conv+IN+LReLU for eligible low-channel stages
             # (custom VJP reuses the kernel for dx) — ops/pallas/conv3d.py
             self.model = self.model.clone(pallas_conv=True)
+        if os.environ.get("LNN_BLOCKED_CONV", "0") == "1" \
+                and hasattr(self.model, "blocked_conv"):
+            # DMA-packed fast-regime conv for big-volume C<=64 stages
+            # (differentiable, custom VJP) — ops/pallas/block_pack.py;
+            # opt-in until chip-measured e2e
+            self.model = self.model.clone(blocked_conv=True)
         if self.opts.base_num_features or self.opts.max_num_features:
             self.model = self.model.clone(
                 base_num_features=self.opts.base_num_features or self.model.base_num_features,

@@ -104,3 +104,39 @@ def test_pick_bs():
     assert bp.pick_bs((64, 64, 64)) == 32
     assert bp.pick_bs((16, 24, 16), prefer=(32, 16, 8)) == 8
     assert bp.pick_bs((20, 24, 20)) is None
+
+
+@pytest.mark.parametrize("st", [(1, 1, 1), (2, 2, 2)])
+def test_packed_conv_in_lrelu_fwd(interpret_pallas, data, st):
+    rng, _, _ = data
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 5)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 5, 6)) * 0.2, jnp.float32)
+    sc = jnp.asarray(rng.uniform(0.5, 1.5, 6), jnp.float32)
+    of = jnp.asarray(rng.normal(size=6) * 0.1, jnp.float32)
+    ref = _block(x, w, sc, of, st)
+    got = bp.packed_conv_in_lrelu(x, w, sc, of, bs=8, strides=st)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("st", [(1, 1, 1), (2, 2, 2)])
+def test_packed_conv_in_lrelu_vjp(interpret_pallas, data, st):
+    """Custom VJP == autodiff of the XLA composition for every input."""
+    rng, _, _ = data
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 5)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 5, 6)) * 0.2, jnp.float32)
+    sc = jnp.asarray(rng.uniform(0.5, 1.5, 6), jnp.float32)
+    of = jnp.asarray(rng.normal(size=6) * 0.1, jnp.float32)
+
+    def loss_got(x, w, sc, of):
+        return jnp.mean(jnp.square(
+            bp.packed_conv_in_lrelu(x, w, sc, of, bs=8, strides=st)))
+
+    def loss_ref(x, w, sc, of):
+        return jnp.mean(jnp.square(_block(x, w, sc, of, st)))
+
+    g_got = jax.grad(loss_got, argnums=(0, 1, 2, 3))(x, w, sc, of)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, w, sc, of)
+    for a, b, name in zip(g_got, g_ref, ("dx", "dw", "dscale", "doffset")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=5e-3, err_msg=name)

@@ -159,21 +159,34 @@ def test_aniso_blocks_planner():
     assert aniso_blocks((8, 8, 8)) is None
 
 
-@pytest.mark.parametrize("st1", [(1, 1, 1), (2, 2, 2)])
-def test_unet_blocked_conv_route_parity(st1):
-    """GenericUNet(blocked_conv=True) == baseline on identical params.
+@pytest.mark.parametrize("grad", [False, True])
+def test_unet_blocked_conv_route_parity(monkeypatch, grad):
+    """GenericUNet(blocked_conv=True) == baseline on identical params —
+    forward AND gradients (the packed route carries a custom VJP).
 
-    The blocked route drops the conv bias (absorbed exactly by IN, like the
+    The packed route drops the conv bias (absorbed exactly by IN, like the
     Pallas path), so biases are zeroed for the comparison; shapes chosen so
-    aniso_blocks engages on the first stages ((24,24,16) -> blocks
-    (12,12,16), grid 4)."""
+    the route engages on the full-resolution stages (32^3 -> bs=16, 2*8=16
+    blocks).  LNN_BLOCKED_FORCE=1 + interpret-mode pallas exercise the TPU
+    route on CPU."""
+    import lifelong_nnunet_tpu.ops.pallas.block_pack as bpk
     from lifelong_nnunet_tpu.models.unet import GenericUNet
+    monkeypatch.setenv("LNN_BLOCKED_FORCE", "1")
+    real = bpk.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(bpk.pl, "pallas_call", patched)
+    bpk.pack_blocks._clear_cache()
+    bpk.unpack_blocks._clear_cache()
     m = GenericUNet(num_classes=3,
                     pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
                     conv_kernel_sizes=((3, 3, 3),) * 3,
-                    base_num_features=4, max_num_features=16,
+                    base_num_features=8, max_num_features=32,
                     deep_supervision=False)
-    x = jnp.asarray(np.random.RandomState(0).normal(size=(2, 24, 24, 16, 1)),
+    x = jnp.asarray(np.random.RandomState(0).normal(size=(2, 32, 32, 32, 1)),
                     jnp.float32)
     params = m.init(jax.random.PRNGKey(0), x)
     params = jax.tree_util.tree_map_with_path(
@@ -181,10 +194,30 @@ def test_unet_blocked_conv_route_parity(st1):
         if (path[-2].key == "Conv_0" and path[-1].key == "bias") else v,
         params)
     mb = m.clone(blocked_conv=True)
-    # the route must actually engage on the first encoder stage
-    from lifelong_nnunet_tpu.ops.blocked_conv import aniso_blocks
-    assert aniso_blocks((24, 24, 16)) is not None
-    ref = m.apply(params, x)[0]
-    got = mb.apply(params, x)[0]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-4, rtol=1e-3)
+    # the route must actually engage on the full-resolution stages
+    from lifelong_nnunet_tpu.models.unet import ConvNormAct
+    probe = ConvNormAct(8, (3, 3, 3), (1, 1, 1), blocked_conv=True)
+    assert probe._packed_bs(jnp.zeros((2, 32, 32, 32, 8))) == 16
+    if not grad:
+        ref = m.apply(params, x)[0]
+        got = mb.apply(params, x)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3)
+        return
+
+    def loss(mm, p):
+        y = mm.apply(p, x)[0]
+        return jnp.mean(jnp.square(y))
+
+    g_ref = jax.grad(lambda p: loss(m, p))(params)
+    g_got = jax.grad(lambda p: loss(mb, p))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_got = dict((jax.tree_util.keystr(k), v) for k, v in
+                    jax.tree_util.tree_leaves_with_path(g_got))
+    for k, vr in flat_ref:
+        ks = jax.tree_util.keystr(k)
+        if "Conv_0" in ks and ks.endswith("['bias']"):
+            continue  # bias grads are zero on the fused route (documented)
+        np.testing.assert_allclose(
+            np.asarray(flat_got[ks]), np.asarray(vr), atol=5e-4, rtol=5e-3,
+            err_msg=ks)
