@@ -109,8 +109,17 @@ def main() -> int:
             print(f"| {tag} | ok err={err:.2e} {ms:.2f} ms "
                   f"({gbs:.0f} GB/s) |", flush=True)
         except Exception as e:  # noqa: BLE001
-            msg = f"{type(e).__name__}: {e}".replace("\n", " ")[:160]
+            msg = f"{type(e).__name__}: {e}".replace("\n", " ")[:1200]
             print(f"| {tag} | FAIL {msg} |", flush=True)
+        # health probe: distinguishes kernel-compile failures from a worker
+        # wedged by a previous compile-helper crash (the 21:22Z outage
+        # followed repeated tpu_compile_helper exits)
+        try:
+            v = float(jnp.dot(jnp.ones((128, 128), jnp.bfloat16),
+                              jnp.ones((128, 128), jnp.bfloat16)).sum())
+            print(f"  # probe ok ({v:.0f})", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"  # PROBE DEAD: {type(e).__name__}", flush=True)
 
     # ---- current kernels (H0 baselines) ------------------------------
     check("pack_cur", lambda v: bp.pack_blocks(v, bs), x, ref_j, moved_pack)
@@ -270,6 +279,98 @@ def main() -> int:
         )(yb)
 
     check("unpack_stage", unpack_stage, y_blk, x, moved_unpack)
+
+    # ---- H3 fix: FUSED-MINOR layout (W and C folded into one minor dim) ----
+    # conv3d's proven DMA pattern: minor extent a 128-multiple, second-minor
+    # 8-aligned starts/extents.  pack_cur's minor is C=32 (not 128-aligned).
+    # Folding WxC makes the minor extent We*C = 40*32 = 1280 (10x128) with
+    # 128-aligned starts k*bs*C; H becomes second-minor -> fetch extent
+    # rounded to He=round8(bs+2)=40 (junk rows trimmed by the conv's
+    # negative high padding, like the W junk columns).
+    He = _round8(bs + 2)
+    ref_f = np.empty((nb, bs + 2, He, We, C), np.float32)
+    xpf_np = np.pad(np.asarray(x, np.float32),
+                    ((0, 0), (1, 1), (1, He - bs - 1), (1, We - bs - 1),
+                     (0, 0)))
+    n = 0
+    for b in range(B):
+        for i in range(nd):
+            for j in range(nh):
+                for k in range(nw):
+                    ref_f[n] = xpf_np[b, i * bs:i * bs + bs + 2,
+                                      j * bs:j * bs + He,
+                                      k * bs:k * bs + We]
+                    n += 1
+    ref_fj = jnp.asarray(ref_f, dtype)
+    moved_packf = ref_f.size * 2
+
+    def _pack_fusedm(v, pipelined):
+        xp = jnp.pad(v, ((0, 0), (1, 1), (1, He - bs - 1),
+                         (1, We - bs - 1), (0, 0)))
+        Wp = xp.shape[3]
+        xf = xp.reshape(B, xp.shape[1], xp.shape[2], Wp * C)  # free reshape
+
+        def kern(x_hbm, out_ref, sem):
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+            j = pl.program_id(2)
+            k = pl.program_id(3)
+            m = ((b * nd + i) * nh + j) * nw + k
+            dst = out_ref.at[0] if pipelined else out_ref.at[m]
+            dma = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(i * bs, bs + 2), pl.ds(j * bs, He),
+                         pl.ds(k * bs * C, We * C)],
+                dst, sem)
+            dma.start()
+            dma.wait()
+
+        out_spec = (pl.BlockSpec((1, bs + 2, He, We * C),
+                                 lambda b, i, j, k:
+                                 (((b * nd + i) * nh + j) * nw + k, 0, 0, 0))
+                    if pipelined else pl.BlockSpec(memory_space=pl.ANY))
+        y = pl.pallas_call(
+            kern,
+            grid=(B, nd, nh, nw),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((nb, bs + 2, He, We * C), v.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        )(xf)
+        return y.reshape(nb, bs + 2, He, We, C)
+
+    check("pack_fusedm_pipe", lambda v: _pack_fusedm(v, True),
+          x, ref_fj, moved_packf)
+    check("pack_fusedm_hbm", lambda v: _pack_fusedm(v, False),
+          x, ref_fj, moved_packf)
+
+    def unpack_fusedm(yb):
+        yf = yb.reshape(nb, bs, bs, bs * C)  # free reshape
+
+        def kern(y_hbm, out_hbm, sem):
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+            j = pl.program_id(2)
+            k = pl.program_id(3)
+            m = ((b * nd + i) * nh + j) * nw + k
+            dma = pltpu.make_async_copy(
+                y_hbm.at[m],
+                out_hbm.at[b, pl.ds(i * bs, bs), pl.ds(j * bs, bs),
+                           pl.ds(k * bs * C, bs * C)],
+                sem)
+            dma.start()
+            dma.wait()
+
+        out = pl.pallas_call(
+            kern,
+            grid=(B, nd, nh, nw),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, S, S, S * C), yb.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        )(yf)
+        return out.reshape(B, S, S, S, C)
+
+    check("unpack_fusedm", unpack_fusedm, y_blk, x, moved_unpack)
     return 0
 
 
