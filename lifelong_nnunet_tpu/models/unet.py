@@ -213,9 +213,15 @@ class ConvNormAct(nn.Module):
             return None                      # FORCE=1: CPU tests (interpret)
         from ..ops.pallas.block_pack import pick_bs
         # bs=8 blocks read ~3x extra bytes (halo+junk) — not worth it; the
-        # small-patch families (hippocampus) stay on the Pallas im2col path
+        # small-patch families (hippocampus) stay on the Pallas im2col path.
+        # channels: the fused-minor DMA needs 128-lane-aligned windows for
+        # BOTH the pack (Cin) and the unpack (Cout) — this also excludes
+        # the trivial Cin=1 first conv (negligible FLOPs).
+        on_tpu = jax.devices()[0].platform == "tpu"
         return pick_bs(x.shape[1:4], prefer=(32, 16), batch=x.shape[0],
-                       min_blocks=16)
+                       min_blocks=16,
+                       channels=(x.shape[-1], self.features) if on_tpu
+                       else None)
 
     def _use_pallas(self, x) -> bool:
         if not (self.pallas_conv and self.dtype == jnp.bfloat16

@@ -18,16 +18,24 @@ C] array at HBM bandwidth (~0.5 GB moved per CT stage-0 conv, ~1 ms);
 an XLA op on the blocked layout, where it reaches the 51+ TFLOP/s regime.
 
 DMA window alignment (Mosaic tiled HBM memrefs, established empirically in
-ops/pallas/conv3d): the minor dim must be copied at full extent (C here —
-always true channels-last), the second-minor dim (W) needs 8-aligned
-starts/extents, higher dims are unconstrained.  Hence:
-  * the volume is pre-padded by +1 low on every axis (so window starts are
-    block-aligned) — W starts bs*k are 8-aligned for bs % 8 == 0;
-  * the W fetch extent is rounded up to 8 (We = round8(bs+2), e.g. 40 for
-    bs=32) — the extra columns carry junk that the conv removes with
-    negative high padding on W (lax.conv padding (0, bs+2-We), zero extra
-    FLOPs);
-  * D/H windows are exact (bs+2) — no alignment constraint, no junk.
+ops/pallas/conv3d and tools/repro_pack.py): the MINOR dim needs 128-lane
+multiples (starts and extents) and the SECOND-MINOR dim 8-aligned
+starts/extents; higher dims are unconstrained.  A channels-last C=32 minor
+violates the 128 rule (the first formulation crashed Mosaic's remote
+compile — results/r4/stage_scan_packed.log), so the kernels run on a
+FUSED-MINOR view [B, D, H, W*C] (a free reshape: W and C are contiguous):
+  * minor (W*C) windows have extent We*C (1280 for bs=32/C=32 — 10x128)
+    and starts k*bs*C (128-aligned for C % 16 == 0, see plan());
+  * H is second-minor: fetch extent rounds to He = round8(bs+2), starts
+    j*bs are 8-aligned for bs % 8 == 0;
+  * the volume is pre-padded +1 low on every axis (so window starts are
+    block-aligned) and high so the rounded He/We fetch extents exist; the
+    junk rows/columns are trimmed by the conv's NEGATIVE high padding on
+    H and W (lax.conv padding (bs+2)-He / (bs+2)-We: zero extra FLOPs);
+  * D windows are exact (bs+2) — no alignment constraint, no junk.
+The kernels use a flat 1-D grid and keep BOTH operands in ANY (direct
+HBM->HBM copies, no pipelined blocks) — the most constraint-free Mosaic
+form (tools/repro_pack.py isolates the alternatives).
 
 Reference counterpart: none — this is TPU layout engineering for the
 upstream nnU-Net conv stages (generic_UNet StackedConvLayers at CT scale).
@@ -48,72 +56,95 @@ def _round8(v: int) -> int:
     return -(-v // 8) * 8
 
 
-def plan(spatial, bs: int) -> bool:
-    """True when [D, H, W] can be packed at block size ``bs``."""
-    return (bs % 8 == 0 and all(s % bs == 0 for s in spatial)
-            and all(s >= bs for s in spatial))
+def plan(spatial, bs: int, channels=None) -> bool:
+    """True when [D, H, W] can be packed at block size ``bs``.
+
+    ``channels``: optional iterable of channel counts that will ride the
+    DMA kernels at this block size (the conv's Cin for pack, Cout for
+    unpack).  On TPU the fused-minor windows need 128-lane-aligned starts
+    and extents: bs*C % 128 == 0 (window starts k*bs*C, unpack extents
+    bs*C) and We*C % 128 == 0 (pack extents).  Pass None to skip (CPU
+    interpret-mode tests)."""
+    if not (bs % 8 == 0 and all(s % bs == 0 for s in spatial)
+            and all(s >= bs for s in spatial)):
+        return False
+    if channels is not None:
+        We = _round8(bs + 2)
+        for c in channels:
+            if (bs * c) % 128 or (We * c) % 128:
+                return False
+    return True
 
 
-def _pack_kernel(xp_hbm, out_ref, sem, *, bs, We, nd, nh, nw):
-    """Grid (B, nd, nh, nw): DMA one halo'd window into the out block."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    k = pl.program_id(3)
+def _pack_kernel(xf_hbm, out_hbm, sem, *, bs, He, We, C, nd, nh, nw):
+    """Flat grid (nb,): DMA one halo'd fused-minor window HBM->HBM."""
+    m = pl.program_id(0)
+    b = m // (nd * nh * nw)
+    r = m % (nd * nh * nw)
+    i = r // (nh * nw)
+    r = r % (nh * nw)
+    j = r // nw
+    k = r % nw
     dma = pltpu.make_async_copy(
-        xp_hbm.at[b, pl.ds(i * bs, bs + 2), pl.ds(j * bs, bs + 2),
-                  pl.ds(k * bs, We), :],
-        out_ref.at[0], sem)
+        xf_hbm.at[b, pl.ds(i * bs, bs + 2), pl.ds(j * bs, He),
+                  pl.ds(k * bs * C, We * C)],
+        out_hbm.at[m], sem)
     dma.start()
     dma.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("bs",))
 def pack_blocks(x, bs: int = 32):
-    """[B, D, H, W, C] -> halo'd blocks [B*nd*nh*nw, bs+2, bs+2, We, C].
+    """[B, D, H, W, C] -> halo'd blocks [B*nd*nh*nw, bs+2, He, We, C].
 
-    We = round8(bs+2); W columns [bs+2, We) are junk (feed the conv with
-    ``conv_pads(bs)`` to ignore them).  Block order is row-major
-    (b, d, h, w) — ``unpack_blocks`` inverts it."""
+    He = We = round8(bs+2); H rows / W columns beyond bs+2 are junk (feed
+    the conv with ``conv_pads(bs)`` to ignore them).  Block order is
+    row-major (b, d, h, w) — ``unpack_blocks`` inverts it."""
     B, D, H, W, C = x.shape
     assert plan((D, H, W), bs), (x.shape, bs)
     nd, nh, nw = D // bs, H // bs, W // bs
-    We = _round8(bs + 2)
+    He = We = _round8(bs + 2)
     # +1 low pad on each axis aligns window starts to block boundaries;
-    # the W high pad covers the rounded fetch extent of the last block
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, We - bs - 1), (0, 0)))
+    # H/W high pads cover the rounded fetch extents of the last blocks
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, He - bs - 1), (1, We - bs - 1),
+                     (0, 0)))
+    xf = xp.reshape(B, xp.shape[1], xp.shape[2], xp.shape[3] * C)  # free
     nb = B * nd * nh * nw
 
-    kern = functools.partial(_pack_kernel, bs=bs, We=We, nd=nd, nh=nh, nw=nw)
-    return pl.pallas_call(
+    kern = functools.partial(_pack_kernel, bs=bs, He=He, We=We, C=C,
+                             nd=nd, nh=nh, nw=nw)
+    out = pl.pallas_call(
         kern,
-        grid=(B, nd, nh, nw),
+        grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, bs + 2, bs + 2, We, C),
-            lambda b, i, j, k: (((b * nd + i) * nh + j) * nw + k, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, bs + 2, bs + 2, We, C), x.dtype),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, bs + 2, He, We * C), x.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )(xp)
+    )(xf)
+    return out.reshape(nb, bs + 2, He, We, C)  # free
 
 
 def conv_pads(bs: int):
     """Conv padding config consuming ``pack_blocks`` output exactly: VALID
-    on D/H, negative high padding trims the junk W columns (no FLOPs)."""
-    We = _round8(bs + 2)
-    return ((0, 0), (0, 0), (0, (bs + 2) - We))
+    on D, negative high padding trims the junk H rows / W columns (no
+    FLOPs)."""
+    He = We = _round8(bs + 2)
+    return ((0, 0), (0, (bs + 2) - He), (0, (bs + 2) - We))
 
 
-def _unpack_kernel(y_ref, out_hbm, sem, *, bs, nd, nh, nw):
-    """Grid (B, nd, nh, nw): DMA one VALID block to its volume window."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    k = pl.program_id(3)
+def _unpack_kernel(yf_hbm, out_hbm, sem, *, bs, C, nd, nh, nw):
+    """Flat grid (nb,): DMA one VALID block to its fused-minor window."""
+    m = pl.program_id(0)
+    b = m // (nd * nh * nw)
+    r = m % (nd * nh * nw)
+    i = r // (nh * nw)
+    r = r % (nh * nw)
+    j = r // nw
+    k = r % nw
     dma = pltpu.make_async_copy(
-        y_ref.at[0],
+        yf_hbm.at[m],
         out_hbm.at[b, pl.ds(i * bs, bs), pl.ds(j * bs, bs),
-                   pl.ds(k * bs, bs), :],
+                   pl.ds(k * bs * C, bs * C)],
         sem)
     dma.start()
     dma.wait()
@@ -126,29 +157,29 @@ def unpack_blocks(y, B: int, grid):
     nd, nh, nw = grid
     nb, bs, _, _, C = y.shape
     assert nb == B * nd * nh * nw, (y.shape, B, grid)
+    yf = y.reshape(nb, bs, bs, bs * C)  # free
 
-    kern = functools.partial(_unpack_kernel, bs=bs, nd=nd, nh=nh, nw=nw)
-    return pl.pallas_call(
+    kern = functools.partial(_unpack_kernel, bs=bs, C=C, nd=nd, nh=nh, nw=nw)
+    out = pl.pallas_call(
         kern,
-        grid=(B, nd, nh, nw),
-        in_specs=[pl.BlockSpec(
-            (1, bs, bs, bs, C),
-            lambda b, i, j, k: (((b * nd + i) * nh + j) * nw + k, 0, 0, 0, 0))],
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(
-            (B, nd * bs, nh * bs, nw * bs, C), y.dtype),
+            (B, nd * bs, nh * bs, nw * bs * C), y.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )(y)
+    )(yf)
+    return out.reshape(B, nd * bs, nh * bs, nw * bs, C)  # free
 
 
 def pick_bs(spatial, prefer=(32, 16, 8), batch: int = 1,
-            min_blocks: int = 1):
+            min_blocks: int = 1, channels=None):
     """Largest supported block size dividing every axis whose total block
     count (batch * grid) reaches ``min_blocks`` (the fast conv regime needs
     enough independent windows — results/r4/stage_scan_blocked.log), or
-    None."""
+    None.  ``channels`` forwards to plan() (TPU DMA lane alignment)."""
     for bs in prefer:
-        if plan(spatial, bs) and \
+        if plan(spatial, bs, channels) and \
                 batch * int(np.prod([s // bs for s in spatial])) >= min_blocks:
             return bs
     return None
@@ -171,7 +202,9 @@ def packed_stage(x, w1, scale1, offset1, w2, scale2, offset2,
     dt = out_dtype or x.dtype
     z1 = packed_conv_in_lrelu(x, w1, scale1, offset1, negative_slope,
                               epsilon, dt, bs, stride1)
-    bs2 = pick_bs(z1.shape[1:4])
+    bs2 = pick_bs(z1.shape[1:4],
+                  channels=None if jax.devices()[0].platform != "tpu"
+                  else (z1.shape[-1], w2.shape[-1]))
     return packed_conv_in_lrelu(z1, w2, scale2, offset2, negative_slope,
                                 epsilon, dt, bs2, (1, 1, 1))
 

@@ -52,13 +52,13 @@ def data():
 
 
 def test_pack_matches_reference_pack(interpret_pallas, data):
-    """pack_blocks == blocked_conv.block_with_halo up to the junk W cols."""
+    """pack_blocks == blocked_conv.block_with_halo up to junk H rows/W cols."""
     from lifelong_nnunet_tpu.ops.blocked_conv import block_with_halo
     _, x, _ = data
     got = bp.pack_blocks(x, bs=8)
     ref, grid = block_with_halo(x, (8, 8, 8))
-    assert got.shape == (2 * 2 * 3 * 2, 10, 10, 16, 5)
-    np.testing.assert_array_equal(np.asarray(got[..., :10, :]),
+    assert got.shape == (2 * 2 * 3 * 2, 10, 16, 16, 5)
+    np.testing.assert_array_equal(np.asarray(got[:, :, :10, :10, :]),
                                   np.asarray(ref))
 
 
@@ -77,7 +77,7 @@ def test_pack_conv_unpack_parity(interpret_pallas, data):
 def test_unpack_roundtrip(interpret_pallas, data):
     _, x, _ = data
     xb = bp.pack_blocks(x, bs=8)
-    core = xb[:, 1:-1, 1:-1, 1:9, :]
+    core = xb[:, 1:-1, 1:9, 1:9, :]
     np.testing.assert_array_equal(
         np.asarray(bp.unpack_blocks(core, 2, (2, 3, 2))), np.asarray(x))
 

@@ -313,10 +313,10 @@ def bench_packed_conv_regime(bs: int, c: int, nb: int, n: int):
     from jax import lax
     from lifelong_nnunet_tpu.ops.pallas.block_pack import conv_pads, _round8
 
-    We = _round8(bs + 2)
+    He = We = _round8(bs + 2)
     w = jnp.asarray(np.random.RandomState(3).normal(
         scale=(1.0 / np.sqrt(27 * c)), size=(3, 3, 3, c, c)), jnp.bfloat16)
-    shape = (nb, bs + 2, bs + 2, We, c)
+    shape = (nb, bs + 2, He, We, c)
 
     def make_fn(length):
         def run(x0):
@@ -326,7 +326,7 @@ def bench_packed_conv_regime(bs: int, c: int, nb: int, n: int):
                     dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
                 ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
                 y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
-                return jnp.pad(y, ((0, 0), (1, 1), (1, 1),
+                return jnp.pad(y, ((0, 0), (1, 1), (1, He - bs - 1),
                                    (1, We - bs - 1), (0, 0))), None
             y, _ = lax.scan(body, x0, None, length=length)
             return jnp.sum(y.astype(jnp.float32))
@@ -352,13 +352,12 @@ def bench_pack_roundtrip(spatial, c, b, bs, n: int):
         def run(x0):
             def body(x, _):
                 xb = pack_blocks(x, bs)
-                core = xb[:, 1:-1, 1:-1, 1:bs + 1, :]
+                core = xb[:, 1:-1, 1:bs + 1, 1:bs + 1, :]
                 return unpack_blocks(core, b, grid), None
             y, _ = lax.scan(body, x0, None, length=length)
             return jnp.sum(y.astype(jnp.float32))
         return run
 
-    halo = (bs + 2) ** 2 * (bs + 8 - (bs + 2) % 8 if (bs + 2) % 8 else bs + 2)
     nbytes = int(np.prod(shape)) * 2  # bf16
     dt, t1, tn = _time_scan(make_fn, shape, jnp.bfloat16, n)
     return dt, nbytes
