@@ -76,21 +76,41 @@ def plan(spatial, bs: int, channels=None) -> bool:
     return True
 
 
-def _pack_kernel(xf_hbm, out_hbm, sem, *, bs, He, We, C, nd, nh, nw):
-    """Flat grid (nb,): DMA one halo'd fused-minor window HBM->HBM."""
+# In-flight DMA window: the serial start()/wait()-per-block form measured
+# only 17-27 GB/s (results/r4/repro_pack.log — strided-descriptor latency,
+# not bandwidth), so the kernels keep Q copies outstanding across grid
+# steps: step m waits for the copy issued at m-Q (same semaphore slot)
+# before issuing its own, and the last step drains the tail.
+_LOOKAHEAD = 8
+
+
+def _pack_kernel(xf_hbm, out_hbm, sems, *, bs, He, We, C, nd, nh, nw,
+                 nb, Q):
+    """Flat grid (nb,): Q-deep pipelined halo'd fused-minor window DMAs."""
     m = pl.program_id(0)
-    b = m // (nd * nh * nw)
-    r = m % (nd * nh * nw)
-    i = r // (nh * nw)
-    r = r % (nh * nw)
-    j = r // nw
-    k = r % nw
-    dma = pltpu.make_async_copy(
-        xf_hbm.at[b, pl.ds(i * bs, bs + 2), pl.ds(j * bs, He),
-                  pl.ds(k * bs * C, We * C)],
-        out_hbm.at[m], sem)
-    dma.start()
-    dma.wait()
+
+    def dma_for(idx):
+        b = idx // (nd * nh * nw)
+        r = idx % (nd * nh * nw)
+        i = r // (nh * nw)
+        r = r % (nh * nw)
+        j = r // nw
+        k = r % nw
+        return pltpu.make_async_copy(
+            xf_hbm.at[b, pl.ds(i * bs, bs + 2), pl.ds(j * bs, He),
+                      pl.ds(k * bs * C, We * C)],
+            out_hbm.at[idx], sems.at[idx % Q])
+
+    @pl.when(m >= Q)
+    def _():
+        dma_for(m - Q).wait()
+
+    dma_for(m).start()
+
+    @pl.when(m == nb - 1)
+    def _():
+        for idx in range(max(0, nb - Q), nb):
+            dma_for(idx).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("bs",))
@@ -110,16 +130,17 @@ def pack_blocks(x, bs: int = 32):
                      (0, 0)))
     xf = xp.reshape(B, xp.shape[1], xp.shape[2], xp.shape[3] * C)  # free
     nb = B * nd * nh * nw
+    Q = min(nb, _LOOKAHEAD)
 
     kern = functools.partial(_pack_kernel, bs=bs, He=He, We=We, C=C,
-                             nd=nd, nh=nh, nw=nw)
+                             nd=nd, nh=nh, nw=nw, nb=nb, Q=Q)
     out = pl.pallas_call(
         kern,
         grid=(nb,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((nb, bs + 2, He, We * C), x.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((Q,))],
     )(xf)
     return out.reshape(nb, bs + 2, He, We, C)  # free
 
@@ -132,22 +153,33 @@ def conv_pads(bs: int):
     return ((0, 0), (0, (bs + 2) - He), (0, (bs + 2) - We))
 
 
-def _unpack_kernel(yf_hbm, out_hbm, sem, *, bs, C, nd, nh, nw):
-    """Flat grid (nb,): DMA one VALID block to its fused-minor window."""
+def _unpack_kernel(yf_hbm, out_hbm, sems, *, bs, C, nd, nh, nw, nb, Q):
+    """Flat grid (nb,): Q-deep pipelined VALID-block-to-window DMAs."""
     m = pl.program_id(0)
-    b = m // (nd * nh * nw)
-    r = m % (nd * nh * nw)
-    i = r // (nh * nw)
-    r = r % (nh * nw)
-    j = r // nw
-    k = r % nw
-    dma = pltpu.make_async_copy(
-        yf_hbm.at[m],
-        out_hbm.at[b, pl.ds(i * bs, bs), pl.ds(j * bs, bs),
-                   pl.ds(k * bs * C, bs * C)],
-        sem)
-    dma.start()
-    dma.wait()
+
+    def dma_for(idx):
+        b = idx // (nd * nh * nw)
+        r = idx % (nd * nh * nw)
+        i = r // (nh * nw)
+        r = r % (nh * nw)
+        j = r // nw
+        k = r % nw
+        return pltpu.make_async_copy(
+            yf_hbm.at[idx],
+            out_hbm.at[b, pl.ds(i * bs, bs), pl.ds(j * bs, bs),
+                       pl.ds(k * bs * C, bs * C)],
+            sems.at[idx % Q])
+
+    @pl.when(m >= Q)
+    def _():
+        dma_for(m - Q).wait()
+
+    dma_for(m).start()
+
+    @pl.when(m == nb - 1)
+    def _():
+        for idx in range(max(0, nb - Q), nb):
+            dma_for(idx).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("B", "grid"))
@@ -158,8 +190,10 @@ def unpack_blocks(y, B: int, grid):
     nb, bs, _, _, C = y.shape
     assert nb == B * nd * nh * nw, (y.shape, B, grid)
     yf = y.reshape(nb, bs, bs, bs * C)  # free
+    Q = min(nb, _LOOKAHEAD)
 
-    kern = functools.partial(_unpack_kernel, bs=bs, C=C, nd=nd, nh=nh, nw=nw)
+    kern = functools.partial(_unpack_kernel, bs=bs, C=C, nd=nd, nh=nh,
+                             nw=nw, nb=nb, Q=Q)
     out = pl.pallas_call(
         kern,
         grid=(nb,),
@@ -167,7 +201,7 @@ def unpack_blocks(y, B: int, grid):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(
             (B, nd * bs, nh * bs, nw * bs * C), y.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((Q,))],
     )(yf)
     return out.reshape(B, nd * bs, nh * bs, nw * bs, C)  # free
 

@@ -121,11 +121,29 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"  # PROBE DEAD: {type(e).__name__}", flush=True)
 
-    # ---- current kernels (H0 baselines) ------------------------------
-    check("pack_cur", lambda v: bp.pack_blocks(v, bs), x, ref_j, moved_pack)
+    # ---- current kernels ----------------------------------------------
+    # block_pack now emits the fused-minor layout [nb, bs+2, He, We, C]
+    # (He = We = round8(bs+2)) with Q-deep pipelined DMAs; reference below.
+    He_c = _round8(bs + 2)
+    ref_c = np.empty((nb, bs + 2, He_c, We, C), np.float32)
+    xpc_np = np.pad(np.asarray(x, np.float32),
+                    ((0, 0), (1, 1), (1, He_c - bs - 1), (1, We - bs - 1),
+                     (0, 0)))
+    n = 0
+    for b in range(B):
+        for i in range(nd):
+            for j in range(nh):
+                for k in range(nw):
+                    ref_c[n] = xpc_np[b, i * bs:i * bs + bs + 2,
+                                      j * bs:j * bs + He_c,
+                                      k * bs:k * bs + We]
+                    n += 1
+    check("pack_cur", lambda v: bp.pack_blocks(v, bs), x,
+          jnp.asarray(ref_c, dtype), ref_c.size * 2)
     check("unpack_cur",
           lambda v: bp.unpack_blocks(v, B, (nd, nh, nw)),
-          ref_j, x, moved_unpack)
+          jnp.asarray(ref_c[:, 1:1 + bs, 1:1 + bs, 1:1 + bs, :], dtype),
+          x, moved_unpack)
 
     # ---- H1: 1-D grid, still pipelined output ------------------------
     def pack_grid1(v):
