@@ -144,7 +144,14 @@ class ConvNormAct(nn.Module):
     ``blocked_conv=True`` routes big-volume C<=64 3x3x3 stages through the
     DMA-packed fast-regime conv (ops/pallas/block_pack) — see _packed_bs;
     checked before the Pallas im2col route, same param tree, same
-    bias-absorbed-by-IN semantics, differentiable (custom VJP)."""
+    bias-absorbed-by-IN semantics, differentiable (custom VJP).
+
+    ``conv25d=True`` routes big-volume C<=64 3x3x3/1x3x3 stages through the
+    2.5D decomposition (ops/conv25d): D folded into the conv2d batch, kd
+    taps as output-channel groups, strided shift-add reduce.  No packing,
+    no layout change, plain lax (autodiff backward).  Same param tree and
+    bias-absorbed-by-IN semantics as the other fused routes; checked before
+    blocked/pallas so the large-spatial stages take it when enabled."""
     features: int
     kernel: Sequence[int]
     stride: Sequence[int]
@@ -153,6 +160,7 @@ class ConvNormAct(nn.Module):
     pallas_conv: bool = False
     int8_min_ch: int = 0
     blocked_conv: bool = False
+    conv25d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -162,6 +170,14 @@ class ConvNormAct(nn.Module):
             y = _int8_conv(x, w, self.stride)
             y = InstanceNorm(dtype=self.dtype, name="InstanceNorm_0")(y)
             return nn.leaky_relu(y, self.negative_slope)
+        if self._use_conv25d(x):
+            from ..ops.conv25d import conv25d_in_lrelu
+            kshape = tuple(self.kernel) + (x.shape[-1], self.features)
+            w = _ConvParams(kshape, name="Conv_0")()
+            scale, offset = _INParams(self.features, name="InstanceNorm_0")()
+            return conv25d_in_lrelu(x, w, scale, offset, self.negative_slope,
+                                    out_dtype=self.dtype,
+                                    strides=tuple(self.stride))
         bs = self._packed_bs(x)
         if bs is not None:
             from ..ops.pallas.block_pack import packed_conv_in_lrelu
@@ -192,6 +208,13 @@ class ConvNormAct(nn.Module):
         return (self.int8_min_ch > 0
                 and min(x.shape[-1], self.features) >= self.int8_min_ch
                 and x.ndim == 5)
+
+    def _use_conv25d(self, x) -> bool:
+        if not self.conv25d:
+            return False
+        from ..ops.conv25d import eligible
+        return eligible(x.shape, tuple(self.kernel), tuple(self.stride),
+                        x.shape[-1], self.features)
 
     def _packed_bs(self, x):
         """Block size for the DMA-packed fast-regime route
@@ -250,6 +273,7 @@ class ConvStage(nn.Module):
     pallas_conv: bool = False
     int8_min_ch: int = 0
     blocked_conv: bool = False
+    conv25d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -257,11 +281,13 @@ class ConvStage(nn.Module):
         x = ConvNormAct(self.features, self.kernel, self.first_stride, self.dtype,
                         pallas_conv=self.pallas_conv,
                         int8_min_ch=self.int8_min_ch,
-                        blocked_conv=self.blocked_conv, name="block0")(x)
+                        blocked_conv=self.blocked_conv,
+                        conv25d=self.conv25d, name="block0")(x)
         x = ConvNormAct(self.features, self.kernel, ones, self.dtype,
                         pallas_conv=self.pallas_conv,
                         int8_min_ch=self.int8_min_ch,
-                        blocked_conv=self.blocked_conv, name="block1")(x)
+                        blocked_conv=self.blocked_conv,
+                        conv25d=self.conv25d, name="block1")(x)
         return x
 
 
@@ -292,6 +318,10 @@ class GenericUNet(nn.Module):
     # param-tree-identical; see ConvNormAct._packed_bs.  Opt in via
     # LNN_BLOCKED_CONV=1 until chip-measured.
     blocked_conv: bool = False
+    # 2.5D decomposition for big-volume C<=64 stages (ops/conv25d): free
+    # D-into-batch fold + kd-tap shift-add; plain lax, differentiable.
+    # Gate: LNN_CONV25D (see maybe_pallas_conv / TrainerOptions).
+    conv25d: bool = False
 
     @property
     def num_pool(self):
@@ -329,7 +359,8 @@ class GenericUNet(nn.Module):
             h = stage_cls(self.stage_features(s), self.conv_kernel_sizes[s], stride,
                           self.dtype, pallas_conv=self.pallas_conv,
                           int8_min_ch=self.int8_min_ch,
-                          blocked_conv=self.blocked_conv, name=f"enc{s}")(h)
+                          blocked_conv=self.blocked_conv,
+                          conv25d=self.conv25d, name=f"enc{s}")(h)
             taps[f"enc{s}"] = h
             skips.append(h)
         # bottleneck
@@ -338,7 +369,8 @@ class GenericUNet(nn.Module):
                       tuple(self.pool_op_kernel_sizes[-1]),
                       self.dtype, pallas_conv=self.pallas_conv,
                       int8_min_ch=self.int8_min_ch,
-                      blocked_conv=self.blocked_conv, name="bottleneck")(h)
+                      blocked_conv=self.blocked_conv,
+                      conv25d=self.conv25d, name="bottleneck")(h)
         taps["bottleneck"] = h
         # decoder + seg heads
         seg_outputs = []
@@ -355,7 +387,8 @@ class GenericUNet(nn.Module):
             h = stage_cls(feats, self.conv_kernel_sizes[self.num_pool - 1 - d],
                           (1,) * dim, self.dtype,
                           pallas_conv=self.pallas_conv,
-                          blocked_conv=self.blocked_conv, name=f"dec{d}")(h)
+                          blocked_conv=self.blocked_conv,
+                          conv25d=self.conv25d, name=f"dec{d}")(h)
             taps[f"dec{d}"] = h
             logits = nn.Conv(self.num_classes, kernel_size=(1,) * dim,
                              dtype=self.dtype, param_dtype=jnp.float32,
@@ -396,6 +429,13 @@ def maybe_pallas_conv(model):
     if os.environ.get("LNN_BLOCKED_CONV", "0") == "1" \
             and hasattr(model, "blocked_conv"):
         model = model.clone(blocked_conv=True)
+    # 2.5D conv decomposition for the big-volume stages (ops/conv25d) —
+    # LNN_CONV25D=0 opts out; default-on pending the chip measurement in
+    # results/r4/stage_scan_conv25d.log (the route only fires on >=2M-voxel
+    # items, so small-patch families are unaffected).
+    if os.environ.get("LNN_CONV25D", "1") != "0" \
+            and hasattr(model, "conv25d"):
+        model = model.clone(conv25d=True)
     return model
 
 

@@ -1,0 +1,130 @@
+"""2.5D decomposition of the 3D conv: one batched 2D conv + a D shift-add.
+
+Why this exists (round-4 CT perf attack): XLA's TPU conv3d runs the CT
+path's [b<=8, 128^3, C32] stages at ~9-11 TFLOP/s while the SAME conv at
+[b256, 32^3, C32] reaches 83 TFLOP/s (results/r4/stage_scan_shapes.log) —
+the slow regime is large-spatial 3D geometry, not the channel count.  Every
+route that *packs* the volume into small blocks pays for the layout change:
+XLA reshape+concat packing lands at 6-8 TFLOP/s end-to-end and the Pallas
+DMA pack kernels plateau at ~24 GB/s (results/r4/stage_scan_blocked.log,
+repro_pack_pipe.log).
+
+This module changes the *operation* instead of the *layout*:
+
+    conv3d(x, w)[n, do, :, :, co]
+        = sum_kd conv2d(x[n, do*sd - pd + kd], w[kd])[:, :, co]
+
+With channel-minor NDHWC activations, folding D into batch is a FREE
+reshape — (N, D, H, W, C) and (N*D, H, W, C) are the same bytes.  The kd
+taps become extra output-channel groups of ONE large-batch conv2d
+(kh, kw, Ci, kd*Co), and the kd-reduction is a cheap strided shift-add
+along D (3 reads + 1 write of the output, fully fusable by XLA).  No
+halos, no data movement, identical FLOPs, and the conv2d runs at
+[batch N*D, 128^2, C32] — 2D geometry XLA tiles well.
+
+Everything here is plain lax — autodiff gives the backward pass (conv2d
+data/weight grads at the same large batch; the shift-add transposes to
+pad/slice), so no custom VJP is needed.
+
+Reference parity target: the torch 3x3x3/stride convs of upstream
+Generic_UNet (reference nnunet generic_UNet.py) with symmetric k//2
+padding — numerics match the direct lax conv3d to bf16 rounding (the kd
+partial sums round to bf16 once each before a f32 shift-add; the direct
+conv rounds once after a full f32 accumulation).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv3d_slicewise(x: jax.Array, w: jax.Array,
+                     stride: Sequence[int] = (1, 1, 1),
+                     accum_dtype=jnp.float32) -> jax.Array:
+    """SAME-symmetric (k//2 per axis) 3D conv via batched conv2d + shift-add.
+
+    x: (N, D, H, W, Ci) channel-minor; w: (kd, kh, kw, Ci, Co).
+    Returns (N, Do, Ho, Wo, Co) in x.dtype.  Matches
+    ``lax.conv_general_dilated(x, w, stride, sym_pads, NDHWC)`` up to
+    bf16 partial-sum rounding (exact in f32).
+    """
+    N, D, H, W, Ci = x.shape
+    kd, kh, kw, ci, Co = w.shape
+    assert ci == Ci, (x.shape, w.shape)
+    sd, sh, sw = tuple(int(s) for s in stride)
+    pd, ph, pw = kd // 2, kh // 2, kw // 2
+
+    x2 = x.reshape(N * D, H, W, Ci)                 # free: D is batch-adjacent
+    # (kd, kh, kw, Ci, Co) -> (kh, kw, Ci, kd*Co): kd taps as channel groups
+    w2 = jnp.moveaxis(w, 0, 3).reshape(kh, kw, Ci, kd * Co).astype(x.dtype)
+    y2 = lax.conv_general_dilated(
+        x2, w2, (sh, sw), [(ph, ph), (pw, pw)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    Ho, Wo = y2.shape[1], y2.shape[2]
+    if kd == 1:                                     # pure per-slice conv
+        y = y2.reshape(N, D, Ho, Wo, Co)
+        return y[:, ::sd] if sd > 1 else y
+
+    y2 = y2.reshape(N, D, Ho, Wo, kd, Co)
+    Do = (D + 2 * pd - kd) // sd + 1
+    # out[:, do] = sum_kd y2[:, do*sd - pd + kd, ..., kd, :]  (zero outside)
+    y2p = jnp.pad(y2, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0), (0, 0)))
+    acc = None
+    for k in range(kd):
+        part = lax.slice_in_dim(y2p, k, k + (Do - 1) * sd + 1,
+                                stride=sd, axis=1)[..., k, :]
+        part = part.astype(accum_dtype)
+        acc = part if acc is None else acc + part
+    return acc.astype(x.dtype)
+
+
+def conv25d_in_lrelu(x: jax.Array, w: jax.Array,
+                     scale: jax.Array, offset: jax.Array,
+                     negative_slope: float = 0.01,
+                     out_dtype=jnp.bfloat16,
+                     strides: Sequence[int] = (1, 1, 1)) -> jax.Array:
+    """Fused-semantics block: conv3d_slicewise -> InstanceNorm -> LeakyReLU.
+
+    Same contract as ops/pallas/conv3d.conv3d_in_lrelu / block_pack's fused
+    stage: the conv bias is omitted (InstanceNorm absorbs any per-channel
+    additive term exactly), IN statistics are f32 over (D, H, W) per (N, C).
+    """
+    y = conv3d_slicewise(x, w, strides)
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(yf - mean), axis=(1, 2, 3), keepdims=True)
+    yn = (yf - mean) * lax.rsqrt(var + 1e-5)
+    yn = yn * scale.astype(jnp.float32) + offset.astype(jnp.float32)
+    return jnp.where(yn >= 0, yn, yn * negative_slope).astype(out_dtype)
+
+
+def eligible(x_shape: Tuple[int, ...], kernel: Sequence[int],
+             stride: Sequence[int], cin: int, cout: int) -> bool:
+    """Shape gate for the 2.5D route (measured regime, RESULTS.md round 4).
+
+    The win is the large-spatial C<=64 stages where XLA's conv3d falls out
+    of its fast regime; small volumes (hippocampus 56^3-scale patches) and
+    the wide deep stages (C>=128 at 32^3/16^3) stay on the Pallas/XLA
+    paths that already measure well there.
+    """
+    if len(x_shape) != 5 or len(kernel) != 3:
+        return False
+    kd, kh, kw = kernel
+    if (kd, kh, kw) not in ((3, 3, 3), (1, 3, 3)):
+        return False
+    # stride-1 only: the strided variant measured pathologically slow on
+    # chip (results/r4/stage_scan_conv25d.log, 0.3 T/s at s2 — vs 25-45 T/s
+    # for every stride-1 case); downsample convs stay on the XLA/Pallas
+    # paths until that regression is understood.
+    if any(s != 1 for s in stride):
+        return False
+    if max(cin, cout) > 64:
+        return False
+    d, h, wdim = x_shape[1:4]
+    # large-spatial only: >= 256k voxels per item (64^3 and up — measured
+    # 28-45 T/s at 64^3 C64 and 23-34 T/s at 128^3 C32 vs 9-15 on the
+    # XLA/Pallas paths; hippocampus-scale 56x40x40=90k stays excluded)
+    return d * h * wdim >= (1 << 18) and x_shape[0] * d >= 64

@@ -147,6 +147,12 @@ class MultiHeadTrainer:
             # (differentiable, custom VJP) — ops/pallas/block_pack.py;
             # opt-in until chip-measured e2e
             self.model = self.model.clone(blocked_conv=True)
+        if os.environ.get("LNN_CONV25D", "1") != "0" \
+                and hasattr(self.model, "conv25d"):
+            # 2.5D decomposition for big-volume C<=64 stages (ops/conv25d):
+            # plain lax, differentiable; only fires on >=2M-voxel items so
+            # small-patch training is untouched
+            self.model = self.model.clone(conv25d=True)
         if self.opts.base_num_features or self.opts.max_num_features:
             self.model = self.model.clone(
                 base_num_features=self.opts.base_num_features or self.model.base_num_features,

@@ -1,0 +1,133 @@
+"""2.5D conv decomposition == direct lax conv3d (ops/conv25d).
+
+The route exists for CT-scale performance (RESULTS.md round 4); these
+tests pin its numerics to the direct conv at every kernel/stride shape
+the nnU-Net plans emit (reference generic_UNet.py conv_kernel_sizes /
+pool_op_kernel_sizes combinations).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from lifelong_nnunet_tpu.ops.conv25d import (conv3d_slicewise,
+                                             conv25d_in_lrelu, eligible)
+
+
+def _direct(x, w, stride):
+    pads = [(k // 2, k // 2) for k in w.shape[:3]]
+    return lax.conv_general_dilated(
+        x, w, tuple(stride), pads,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+CASES = [
+    # (shape NDHWC, kernel, stride)
+    ((2, 12, 10, 8, 5), (3, 3, 3), (1, 1, 1)),
+    ((2, 12, 10, 8, 5), (3, 3, 3), (2, 2, 2)),
+    ((1, 13, 9, 11, 4), (3, 3, 3), (1, 2, 2)),   # anisotropic plan stride
+    ((2, 12, 10, 8, 5), (1, 3, 3), (1, 1, 1)),   # anisotropic kernel
+    ((2, 12, 10, 8, 5), (1, 3, 3), (1, 2, 2)),
+    ((2, 12, 10, 8, 1), (3, 3, 3), (1, 1, 1)),   # Cin=1 first conv
+]
+
+
+@pytest.mark.parametrize("shape,kernel,stride", CASES)
+def test_matches_direct_conv_f32(shape, kernel, stride):
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=kernel + (shape[-1], 6)), jnp.float32)
+    ref = _direct(x, w, stride)
+    got = conv3d_slicewise(x, w, stride)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_matches_direct_conv_bf16():
+    """bf16 path: partial-sum rounding only — stays within a few bf16 ulps."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 8, 8)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(scale=0.1, size=(3, 3, 3, 8, 8)), jnp.bfloat16)
+    ref = np.asarray(_direct(x, w, (1, 1, 1)).astype(jnp.float32))
+    got = np.asarray(conv3d_slicewise(x, w, (1, 1, 1)).astype(jnp.float32))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 0.03 * scale
+
+
+def test_fused_block_matches_composition():
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.normal(size=(2, 10, 8, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    offset = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    y = _direct(x, w, (1, 1, 1)).astype(jnp.float32)
+    mean = jnp.mean(y, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(y, axis=(1, 2, 3), keepdims=True)
+    ref = (y - mean) * lax.rsqrt(var + 1e-5) * scale + offset
+    ref = jnp.where(ref >= 0, ref, ref * 0.01)
+    got = conv25d_in_lrelu(x, w, scale, offset, 0.01,
+                           out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gradients_match_direct():
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 6, 6, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)), jnp.float32)
+
+    def loss_25d(x, w):
+        return jnp.sum(jnp.square(conv3d_slicewise(x, w, (2, 2, 2))))
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.square(_direct(x, w, (2, 2, 2))))
+
+    gx1, gw1 = jax.grad(loss_25d, argnums=(0, 1))(x, w)
+    gx2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_eligibility_gate():
+    # CT stage 0: eligible
+    assert eligible((2, 128, 128, 128, 32), (3, 3, 3), (1, 1, 1), 32, 32)
+    assert eligible((4, 128, 128, 128, 1), (3, 3, 3), (1, 1, 1), 1, 32)
+    # hippocampus-scale patches: too small
+    assert not eligible((9, 56, 40, 40, 32), (3, 3, 3), (1, 1, 1), 32, 32)
+    # wide deep stages stay on existing paths
+    assert not eligible((2, 128, 128, 128, 128), (3, 3, 3), (1, 1, 1),
+                        128, 128)
+    # unsupported kernels/strides (stride-1 only: strided measured 0.3 T/s
+    # on chip — results/r4/stage_scan_conv25d.log)
+    assert not eligible((2, 128, 128, 128, 32), (1, 1, 1), (1, 1, 1), 32, 32)
+    assert not eligible((2, 128, 128, 128, 32), (3, 3, 3), (2, 2, 2), 32, 32)
+
+
+def test_convnormact_route_matches_xla(monkeypatch):
+    """ConvNormAct with conv25d=True (gate forced open) == the XLA
+    composition with identical params — flag-agnostic checkpoints."""
+    import lifelong_nnunet_tpu.models.unet as unet_mod
+    from lifelong_nnunet_tpu.models.unet import ConvNormAct
+
+    monkeypatch.setattr(unet_mod, "ConvNormAct", ConvNormAct)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.normal(size=(2, 10, 8, 8, 4)), jnp.float32)
+
+    m_ref = ConvNormAct(features=6, kernel=(3, 3, 3), stride=(1, 1, 1))
+    params = m_ref.init(jax.random.PRNGKey(0), x)
+    ref = m_ref.apply(params, x)
+
+    m_25d = ConvNormAct(features=6, kernel=(3, 3, 3), stride=(1, 1, 1),
+                        conv25d=True)
+    # force the shape gate open for the small CPU-testable volume
+    monkeypatch.setattr("lifelong_nnunet_tpu.ops.conv25d.eligible",
+                        lambda *a: True)
+    got = m_25d.apply(params, x)
+    # conv bias is absorbed by IN on the fused route: exact equality of the
+    # normalized output up to float tolerance
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)

@@ -391,11 +391,76 @@ def bench_packed_stage(spatial, c, b, n: int, bs):
     return _time_scan(make_fn, shape, jnp.bfloat16, n)
 
 
+def bench_conv25d(spatial, c, b, n: int, stride=(1, 1, 1), cin=None):
+    """Chained 2.5D conv (ops/conv25d.conv3d_slicewise) with renorm.
+
+    For strided cases the chain upsamples back via repeat so the carry
+    keeps the input shape (repeat is a cheap broadcast copy, counted)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.ops.conv25d import conv3d_slicewise
+
+    cin = cin or c
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(27 * cin)), size=(3, 3, 3, cin, c)),
+        jnp.bfloat16)
+    shape = (b,) + spatial + (cin,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = conv3d_slicewise(x, w, stride)
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
+                if stride != (1, 1, 1):
+                    for ax, s in zip((1, 2, 3), stride):
+                        y = jnp.repeat(y, s, axis=ax)
+                if cin != c:
+                    y = y[..., :cin]
+                return y, None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def bench_conv25d_stage(spatial, c, b, n: int):
+    """Chained 2-block fused stage via conv25d_in_lrelu (vs stage-xla/
+    stage-pallas rows from the blocked mode)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.ops.conv25d import conv25d_in_lrelu
+
+    rng = np.random.RandomState(3)
+    w1 = jnp.asarray(rng.normal(scale=1 / np.sqrt(27 * c),
+                                size=(3, 3, 3, c, c)), jnp.bfloat16)
+    w2 = jnp.asarray(rng.normal(scale=1 / np.sqrt(27 * c),
+                                size=(3, 3, 3, c, c)), jnp.bfloat16)
+    sc = jnp.ones((c,), jnp.float32)
+    of = jnp.zeros((c,), jnp.float32)
+    shape = (b,) + spatial + (c,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = conv25d_in_lrelu(x, w1, sc, of)
+                y = conv25d_in_lrelu(y, w2, sc, of)
+                return y, None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="all",
                     choices=["blocks", "shapes", "split", "blocked", "aniso",
-                             "packed", "all"])
+                             "packed", "conv25d", "all"])
     ap.add_argument("--n", type=int, default=8)
     args = ap.parse_args()
 
@@ -534,6 +599,40 @@ def main():
                 cell = f"FAIL:{type(e).__name__}"
             print(f"| stage-packed b{b} {sp[0]}^3 C{c} bs{bs} | {cell} |",
                   flush=True)
+
+    if args.mode in ("conv25d", "all"):
+        # 2.5D decomposition (ops/conv25d): D folded into conv2d batch,
+        # kd taps as channel groups, strided shift-add reduce.  No packing.
+        print("\n## 2.5D conv (batched conv2d + D shift-add), true per-iter")
+        print("| case | ms (T/s) |", flush=True)
+        print("|---|---|")
+        for sp, c, b, stride, cin in (
+                ((128, 128, 128), 32, 2, (1, 1, 1), None),
+                ((128, 128, 128), 32, 4, (1, 1, 1), None),
+                ((128, 128, 128), 32, 8, (1, 1, 1), None),
+                ((128, 128, 128), 64, 2, (2, 2, 2), 32),  # s0->s1 downsample
+                ((64, 64, 64), 64, 2, (1, 1, 1), None),
+                ((64, 64, 64), 64, 8, (1, 1, 1), None)):
+            ci = cin or c
+            out_vox = int(np.prod([s // st for s, st in zip(sp, stride)]))
+            flops = 2 * b * out_vox * ci * c * 27
+            try:
+                dt, t1, tn = bench_conv25d(sp, c, b, args.n, stride, cin)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}: {str(e)[:120]}"
+            sstr = "s2" if stride != (1, 1, 1) else "s1"
+            print(f"| conv25d b{b} {sp[0]}^3 C{ci}->{c} {sstr} | {cell} |",
+                  flush=True)
+        for sp, c, b in (((128, 128, 128), 32, 2), ((128, 128, 128), 32, 4),
+                         ((64, 64, 64), 64, 2)):
+            flops = 2 * 2 * b * int(np.prod(sp)) * c * c * 27
+            try:
+                dt, t1, tn = bench_conv25d_stage(sp, c, b, args.n)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}: {str(e)[:120]}"
+            print(f"| stage-25d b{b} {sp[0]}^3 C{c} | {cell} |", flush=True)
 
     if args.mode in ("aniso", "all"):
         # W-whole anisotropic blocks: split only D/H, keep W intact.  The
