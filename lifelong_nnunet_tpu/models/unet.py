@@ -264,6 +264,31 @@ class ConvNormAct(nn.Module):
             and x.shape[-1] <= 64 and self.features <= 64
 
 
+class ConvTranspose25D(nn.Module):
+    """Drop-in for nn.ConvTranspose (k==s decoder upsample) computed via the
+    2.5D decomposition (ops/conv25d.conv_transpose3d_slicewise): XLA's 3D
+    conv_transpose runs the CT-scale upsample at ~0.9 T/s through its
+    dilated-conv path (results/r4/stage_scan_upT.log); this splits into
+    per-D-tap 2D transposed convs at batch N*D + a contiguous D-interleave.
+    Param tree identical to nn.ConvTranspose (kernel/bias, f32) — exact
+    numerics (taps don't overlap), checkpoints flag-agnostic."""
+    features: int
+    strides: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv25d import conv_transpose3d_slicewise
+        kshape = tuple(self.strides) + (x.shape[-1], self.features)
+        w = self.param("kernel", nn.initializers.he_normal(), kshape,
+                       jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        y = conv_transpose3d_slicewise(x.astype(self.dtype),
+                                       w, tuple(self.strides))
+        return y + b.astype(y.dtype)
+
+
 class ConvStage(nn.Module):
     """Two ConvNormAct blocks; the first may be strided (downsampling)."""
     features: int
@@ -378,11 +403,17 @@ class GenericUNet(nn.Module):
             skip = skips[self.num_pool - 1 - d]
             up_stride = tuple(self.pool_op_kernel_sizes[self.num_pool - 1 - d])
             feats = skip.shape[-1]
-            h = nn.ConvTranspose(
-                feats, kernel_size=up_stride, strides=up_stride, padding="VALID",
-                dtype=self.dtype, param_dtype=jnp.float32,
-                kernel_init=nn.initializers.he_normal(), name=f"up{d}",
-            )(h)
+            from ..ops.conv25d import upsample_eligible
+            if self.conv25d and h.ndim == 5 \
+                    and upsample_eligible(h.shape, up_stride, up_stride):
+                h = ConvTranspose25D(feats, up_stride, dtype=self.dtype,
+                                     name=f"up{d}")(h)
+            else:
+                h = nn.ConvTranspose(
+                    feats, kernel_size=up_stride, strides=up_stride,
+                    padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=nn.initializers.he_normal(), name=f"up{d}",
+                )(h)
             h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
             h = stage_cls(feats, self.conv_kernel_sizes[self.num_pool - 1 - d],
                           (1,) * dim, self.dtype,

@@ -101,6 +101,61 @@ def conv25d_in_lrelu(x: jax.Array, w: jax.Array,
     return jnp.where(yn >= 0, yn, yn * negative_slope).astype(out_dtype)
 
 
+def conv_transpose3d_slicewise(x: jax.Array, w: jax.Array,
+                               stride: Sequence[int]) -> jax.Array:
+    """kernel==stride ConvTranspose (the U-Net decoder upsample) via
+    per-D-tap batched 2D transposed convs + a contiguous D-interleave.
+
+    XLA lowers the 3D conv_transpose at decoder scale through its dilated-
+    conv path at ~0.9 T/s (results/r4/stage_scan_upT.log: 42.9 ms chained
+    at b4 64^3 C64->32 — the single most expensive op in the CT forward),
+    and the matmul+depth-to-space alternative pays the same 40 ms in the
+    W/C minor-dim interleave.  This splits along D instead: one 2D
+    conv_transpose per D-tap at batch N*D (free reshape), then a stack
+    along a new D-minor axis — which concatenates CONTIGUOUS (H'*W'*Co)
+    blocks (~1 MB at CT scale), the one interleave direction the TPU
+    layout does at HBM speed.
+
+    Matches ``lax.conv_transpose(x, w, stride, "VALID", NDHWC)`` exactly
+    (k==s means taps don't overlap; tap order verified by test).
+    """
+    N, D, H, W, Ci = x.shape
+    kd, kh, kw, ci, Co = w.shape
+    sd, sh, sw = tuple(int(s) for s in stride)
+    assert (kd, kh, kw) == (sd, sh, sw), "k==s upsampling only"
+    assert ci == Ci
+    x2 = x.reshape(N * D, H, W, Ci)
+    w = w.astype(x.dtype)
+    if kd == 1:
+        y = lax.conv_transpose(x2, w[0], (sh, sw), "VALID",
+                               dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y.reshape(N, D, sh * H, sw * W, Co)
+    # lax.conv_transpose (transpose_kernel=False) flips spatial taps; the
+    # D flip must be applied by hand since D is decomposed out
+    outs = [lax.conv_transpose(x2, w[kd - 1 - i], (sh, sw), "VALID",
+                               dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            for i in range(kd)]
+    y = jnp.stack(outs, axis=1)          # (N*D, kd, H', W', Co) — 1MB blocks
+    return y.reshape(N, sd * D, sh * H, sw * W, Co)
+
+
+def upsample_eligible(x_shape: Tuple[int, ...], kernel: Sequence[int],
+                      stride: Sequence[int]) -> bool:
+    """Shape gate for the 2.5D transposed-conv route: 3D k==s upsamples
+    with enough slices to batch; the tiny deep-decoder levels stay on
+    lax.conv_transpose (measured fine at 32^3-and-below b2)."""
+    if len(x_shape) != 5 or len(kernel) != 3:
+        return False
+    if tuple(kernel) != tuple(stride):
+        return False
+    d, h, wdim = x_shape[1:4]
+    # the slow regime is the large-spatial upsample: >=256k voxels/item out
+    out_vox = d * h * wdim
+    for s in stride:
+        out_vox *= int(s)
+    return out_vox >= (1 << 18) and x_shape[0] * d >= 32
+
+
 def eligible(x_shape: Tuple[int, ...], kernel: Sequence[int],
              stride: Sequence[int], cin: int, cout: int) -> bool:
     """Shape gate for the 2.5D route (measured regime, RESULTS.md round 4).

@@ -131,3 +131,43 @@ def test_convnormact_route_matches_xla(monkeypatch):
     # normalized output up to float tolerance
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_conv_transpose_slicewise_matches_lax():
+    rng = np.random.RandomState(4)
+    from lifelong_nnunet_tpu.ops.conv25d import conv_transpose3d_slicewise
+    for stride in ((2, 2, 2), (1, 2, 2), (2, 2, 1)):
+        x = jnp.asarray(rng.normal(size=(2, 6, 5, 4, 3)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=stride + (3, 7)), jnp.float32)
+        ref = lax.conv_transpose(x, w, stride, "VALID",
+                                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        got = conv_transpose3d_slicewise(x, w, stride)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_unet_upsample_route_matches(monkeypatch):
+    """GenericUNet with the 2.5D upsample route (gate forced) == the
+    nn.ConvTranspose decoder with identical params."""
+    from lifelong_nnunet_tpu.models.unet import GenericUNet
+
+    kw = dict(num_classes=3, pool_op_kernel_sizes=((2, 2, 2),) * 2,
+              conv_kernel_sizes=((3, 3, 3),) * 3, base_num_features=4,
+              max_num_features=16)
+    x = jnp.asarray(np.random.RandomState(0).normal(
+        size=(1, 16, 16, 16, 1)), jnp.float32)
+    m_ref = GenericUNet(**kw)
+    params = m_ref.init(jax.random.PRNGKey(0), x)
+    ref = m_ref.apply(params, x)
+
+    # conv25d=True but keep the conv route shut so ONLY the upsample
+    # route differs (the conv gate needs >=256k voxels — never fires here);
+    # force the upsample gate open.
+    monkeypatch.setattr("lifelong_nnunet_tpu.ops.conv25d.upsample_eligible",
+                        lambda *a: True)
+    m_25d = GenericUNet(**kw, conv25d=True)
+    got = m_25d.apply(params, x)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)

@@ -416,7 +416,9 @@ def bench_conv25d(spatial, c, b, n: int, stride=(1, 1, 1), cin=None):
                 if stride != (1, 1, 1):
                     for ax, s in zip((1, 2, 3), stride):
                         y = jnp.repeat(y, s, axis=ax)
-                if cin != c:
+                if c < cin:
+                    y = jnp.concatenate([y] * (cin // c), axis=-1)
+                elif c > cin:
                     y = y[..., :cin]
                 return y, None
             y, _ = lax.scan(body, x0, None, length=length)
@@ -456,12 +458,132 @@ def bench_conv25d_stage(spatial, c, b, n: int):
     return _time_scan(make_fn, shape, jnp.bfloat16, n)
 
 
+def _bench_direct_cinout(spatial, cout, b, n: int, cin: int):
+    """Chained direct SAME conv with Cin != Cout (channel-slice carry)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(27 * cin)), size=(3, 3, 3, cin, cout)),
+        jnp.bfloat16)
+    shape = (b,) + spatial + (cin,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = lax.conv_general_dilated(
+                    x, w, (1, 1, 1), "SAME",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
+                if cout < cin:
+                    y = jnp.concatenate([y] * (cin // cout), axis=-1)
+                elif cout > cin:
+                    y = y[..., :cin]
+                return y, None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def _bench_convtranspose(sp_in, cin, cout, b, n: int):
+    """Chained ConvTranspose k=s=2 (decoder upsampling); carry is folded
+    back down by a stride-2 slice + channel tile (cheap)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(cin)), size=(2, 2, 2, cin, cout)), jnp.bfloat16)
+    shape = (b,) + sp_in + (cin,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = lax.conv_transpose(
+                    x, w, (2, 2, 2), "VALID",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
+                y = y[:, ::2, ::2, ::2, :]
+                y = jnp.concatenate([y] * (cin // cout), axis=-1)
+                return y, None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def _bench_up_25d(sp_in, cin, cout, b, n: int):
+    """Chained 2.5D transposed conv (ops/conv25d.conv_transpose3d_slicewise):
+    per-D-tap conv_transpose2d at batch N*D + contiguous D-interleave."""
+    import jax.numpy as jnp
+    from jax import lax
+    from lifelong_nnunet_tpu.ops.conv25d import conv_transpose3d_slicewise
+
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(cin)), size=(2, 2, 2, cin, cout)), jnp.bfloat16)
+    shape = (b,) + sp_in + (cin,)
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = conv_transpose3d_slicewise(x, w, (2, 2, 2))
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
+                y = y[:, ::2, ::2, ::2, :]
+                y = jnp.concatenate([y] * (cin // cout), axis=-1)
+                return y, None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
+def _bench_up_matmul(sp_in, cin, cout, b, n: int):
+    """ConvTranspose k=s=2 as ONE matmul + depth-to-space: each output
+    voxel receives exactly one tap, so y = x @ W[(2,2,2) octants] then an
+    interleaving reshape/transpose."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=(1.0 / np.sqrt(cin)), size=(2, 2, 2, cin, cout)), jnp.bfloat16)
+    w2 = w.reshape(8, cin, cout).transpose(1, 0, 2).reshape(cin, 8 * cout)
+    shape = (b,) + sp_in + (cin,)
+    D, H, W = sp_in
+
+    def make_fn(length):
+        def run(x0):
+            def body(x, _):
+                y = x @ w2                     # [b, D, H, W, 8*cout]
+                y = y.reshape(b, D, H, W, 2, 2, 2, cout)
+                y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+                y = y.reshape(b, 2 * D, 2 * H, 2 * W, cout)
+                ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
+                y = y[:, ::2, ::2, ::2, :]
+                y = jnp.concatenate([y] * (cin // cout), axis=-1)
+                return y, None
+            y, _ = lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return run
+
+    return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="all",
                     choices=["blocks", "shapes", "split", "blocked", "aniso",
-                             "packed", "conv25d", "all"])
+                             "packed", "conv25d", "conv25dx", "all"])
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--sections", default="abc",
+                    help="conv25dx sections to run (a=wide convs, "
+                         "b=ConvTranspose, c=strided isolation)")
     args = ap.parse_args()
 
     import jax
@@ -633,6 +755,82 @@ def main():
             except Exception as e:
                 cell = f"FAIL:{type(e).__name__}: {str(e)[:120]}"
             print(f"| stage-25d b{b} {sp[0]}^3 C{c} | {cell} |", flush=True)
+
+    if args.mode == "conv25dx":
+        # supplementary: (a) wide decoder convs (Cin=128 after skip concat),
+        # (b) ConvTranspose upsampling cost at CT scale, (c) strided-conv
+        # isolation — is the 0.3 T/s s2 pathology the conv2d or the chain's
+        # repeat-upsample harness?
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        print("\n## conv25d supplementary", flush=True)
+        print("| case | ms (T/s) |")
+        print("|---|---|")
+        # (a) wide decoder conv: 64^3 Cin128 -> C64 via conv25d vs direct
+        for sp, cout, b, cin in ((((64, 64, 64), 64, 2, 128),
+                                  ((64, 64, 64), 64, 4, 128),
+                                  ((128, 128, 128), 32, 2, 64))
+                                 if "a" in args.sections else ()):
+            flops = 2 * b * int(np.prod(sp)) * cin * cout * 27
+            try:
+                dt, t1, tn = bench_conv25d(sp, cout, b, args.n,
+                                           (1, 1, 1), cin)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}: {str(e)[:90]}"
+            print(f"| conv25d b{b} {sp[0]}^3 C{cin}->{cout} | {cell} |",
+                  flush=True)
+            try:
+                dt, t1, tn = _bench_direct_cinout(sp, cout, b, args.n, cin)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}: {str(e)[:90]}"
+            print(f"| direct  b{b} {sp[0]}^3 C{cin}->{cout} | {cell} |",
+                  flush=True)
+        # (b) ConvTranspose kernel=stride=2 at decoder scales, direct vs
+        # matmul+depth-to-space
+        for sp_in, cin, cout, b in ((((64, 64, 64), 64, 32, 4),
+                                     ((64, 64, 64), 64, 32, 2),
+                                     ((32, 32, 32), 128, 64, 4))
+                                    if "b" in args.sections else ()):
+            flops = 2 * b * int(np.prod(sp_in)) * cin * cout * 8
+            for tag, fn in (("upT-direct", _bench_convtranspose),
+                            ("upT-matmul", _bench_up_matmul),
+                            ("upT-25d", _bench_up_25d)):
+                try:
+                    dt, t1, tn = fn(sp_in, cin, cout, b, args.n)
+                    cell = f"{dt*1e3:.2f} ({flops/dt/1e12:.1f})"
+                except Exception as e:
+                    cell = f"FAIL:{type(e).__name__}: {str(e)[:90]}"
+                print(f"| {tag} b{b} {sp_in[0]}^3 C{cin}->{cout} | {cell} |",
+                      flush=True)
+        # (c) strided isolation: one-shot timing (no chain) of the bare
+        # strided conv25d vs bare strided direct conv, distinct inputs
+        from lifelong_nnunet_tpu.ops.conv25d import conv3d_slicewise
+        for name, op in () if "c" not in args.sections else (
+                ("s2-25d", lambda x, w: conv3d_slicewise(x, w, (2, 2, 2))),
+                ("s2-direct", lambda x, w: lax.conv_general_dilated(
+                    x, w, (2, 2, 2), [(1, 1)] * 3,
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))):
+            c_in, c_out, b, sp = 32, 64, 2, (128, 128, 128)
+            w = jnp.asarray(np.random.RandomState(3).normal(
+                scale=1 / np.sqrt(27 * c_in), size=(3, 3, 3, c_in, c_out)),
+                jnp.bfloat16)
+            f = jax.jit(lambda x: jnp.sum(op(x, w).astype(jnp.float32)))
+            rng = np.random.RandomState(11)
+            xs = [jnp.asarray(rng.normal(size=(b,) + sp + (c_in,)),
+                              jnp.bfloat16) for _ in range(4)]
+            _sync(f(xs[0]))
+            ts = []
+            for r in range(3):
+                t0 = time.perf_counter()
+                _sync(f(xs[1 + r]))
+                ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts))
+            flops = 2 * b * int(np.prod(sp)) // 8 * c_in * c_out * 27
+            print(f"| {name} b{b} 128^3 C32->64 one-shot | {dt*1e3:.1f} "
+                  f"({flops/dt/1e12:.1f}) |", flush=True)
 
     if args.mode in ("aniso", "all"):
         # W-whole anisotropic blocks: split only D/H, keep W intact.  The
