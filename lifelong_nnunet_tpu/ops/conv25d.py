@@ -139,6 +139,45 @@ def conv_transpose3d_slicewise(x: jax.Array, w: jax.Array,
     return y.reshape(N, sd * D, sh * H, sw * W, Co)
 
 
+def conv_transpose3d_matmul(x: jax.Array, w: jax.Array,
+                            stride: Sequence[int]) -> jax.Array:
+    """k==s=2 ConvTranspose as 4 octant-pair matmuls with a FREE W-merge.
+
+    Every materialized interleave of the 2x-upsampled tensor measured at
+    the TPU relayout wall (~16-38 GB/s, 128-byte runs —
+    results/r4/stage_scan_upT.log).  The W-axis interleave is the only one
+    that can be made literally free: with output channels ordered (k, c),
+    ``(..., W, k*c) -> (..., 2W, c)`` is the identity permutation of linear
+    memory.  So: one matmul per (i, j) D/H-tap pair emitting (k, c)
+    channel groups (free W-merge each), then an H-stack whose sources are
+    contiguous (2W*c) runs (~16 KB at CT scale) and a D-stack with
+    (2H*2W*c) runs (~4 MB) — no transposes anywhere.
+
+    Exact for k==s (taps never overlap).  Gradient is 4 matmul transposes
+    + slice adjoints (autodiff).
+    """
+    N, D, H, W, Ci = x.shape
+    kd, kh, kw, ci, Co = w.shape
+    assert (kd, kh, kw) == tuple(stride) == (2, 2, 2), "2x upsample only"
+    assert ci == Ci
+    x2 = x.reshape(N * D, H, W, Ci)
+    w = w.astype(x.dtype)
+    rows = []
+    for i in range(2):
+        cols = []
+        for j in range(2):
+            # (Ci, k*Co) with k outer of Co — the free-merge ordering
+            wij = w[i, j].transpose(1, 0, 2).reshape(Ci, 2 * Co)
+            yij = (x2 @ wij).reshape(N * D, H, 2 * W, Co)
+            cols.append(yij)
+        # H-interleave: contiguous (2W*Co) runs per (n*d, h)
+        hi = jnp.stack(cols, axis=2).reshape(N * D, 2 * H, 2 * W, Co)
+        rows.append(hi)
+    # D-interleave: contiguous (2H*2W*Co) runs per (n*d)
+    z = jnp.stack(rows, axis=1)
+    return z.reshape(N, 2 * D, 2 * H, 2 * W, Co)
+
+
 def upsample_eligible(x_shape: Tuple[int, ...], kernel: Sequence[int],
                       stride: Sequence[int]) -> bool:
     """Shape gate for the 2.5D transposed-conv route: 3D k==s upsamples

@@ -579,7 +579,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="all",
                     choices=["blocks", "shapes", "split", "blocked", "aniso",
-                             "packed", "conv25d", "conv25dx", "all"])
+                             "packed", "conv25d", "conv25dx", "conv2d",
+                             "all"])
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--sections", default="abc",
                     help="conv25dx sections to run (a=wide convs, "
@@ -755,6 +756,60 @@ def main():
             except Exception as e:
                 cell = f"FAIL:{type(e).__name__}: {str(e)[:120]}"
             print(f"| stage-25d b{b} {sp[0]}^3 C{c} | {cell} |", flush=True)
+
+    if args.mode == "conv2d":
+        # where does the bare 2D conv regime top out?  Informs whether the
+        # conv25d gap-to-45+T/s is the conv2d itself (fold H next) or the
+        # shift-add/IN epilogue (Pallas epilogue next).
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        print("\n## bare conv2d regime scan (chained)", flush=True)
+        print("| case | ms (T/s) |")
+        print("|---|---|")
+
+        def bench2d(b, hw, cin, cout, n):
+            w = jnp.asarray(np.random.RandomState(3).normal(
+                scale=1 / np.sqrt(9 * cin), size=(3, 3, cin, cout)),
+                jnp.bfloat16)
+            shape = (b, hw[0], hw[1], cin)
+
+            def make_fn(length):
+                def run(x0):
+                    def body(x, _):
+                        y = lax.conv_general_dilated(
+                            x, w, (1, 1), "SAME",
+                            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                        ms = jnp.mean(jnp.square(y.astype(jnp.float32)))
+                        y = y * lax.rsqrt(ms + 1e-6).astype(y.dtype)
+                        if cout > cin:
+                            y = y[..., :cin]
+                        elif cout < cin:
+                            y = jnp.concatenate([y] * (cin // cout), axis=-1)
+                        return y, None
+                    y, _ = lax.scan(body, x0, None, length=length)
+                    return jnp.sum(y.astype(jnp.float32))
+                return run
+
+            return _time_scan(make_fn, shape, jnp.bfloat16, n)
+
+        for b, hw, cin, cout in (
+                (512, (128, 128), 32, 96),    # inside conv25d @ wb4 s0
+                (512, (128, 128), 32, 128),   # padded-lane variant
+                (512, (128, 128), 32, 32),    # single-tap variant
+                (2048, (64, 128), 32, 96),    # H-fold regime probe (rate only)
+                (8192, (32, 128), 32, 96),
+                (256, (64, 64), 64, 192),     # s1 @ 64^3 b4
+                (256, (64, 64), 128, 192),    # dec1 wide
+                (512, (128, 128), 64, 96)):   # dec0 concat input
+            flops = 2 * b * hw[0] * hw[1] * cin * cout * 9
+            try:
+                dt, t1, tn = bench2d(b, hw, cin, cout, args.n)
+                cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
+            except Exception as e:
+                cell = f"FAIL:{type(e).__name__}: {str(e)[:90]}"
+            print(f"| conv2d b{b} {hw[0]}x{hw[1]} C{cin}->{cout} | {cell} |",
+                  flush=True)
 
     if args.mode == "conv25dx":
         # supplementary: (a) wide decoder convs (Cin=128 after skip concat),

@@ -16,3 +16,6 @@ echo "train base rc=$?" >> /tmp/recovery_queue_done
 LNN_CONV25D=1 timeout 1800 python bench.py --workload train_mfu > results/r4/bench_train_25d.log 2>&1
 echo "train 25d rc=$?" >> /tmp/recovery_queue_done
 echo "=== done $(date -u +%FT%TZ)" >> /tmp/recovery_queue_done
+echo "=== conv2d regime scan $(date -u +%FT%TZ)" >> /tmp/recovery_queue_done
+timeout 1800 python tools/ct_stage_scan.py conv2d --n 6 > results/r4/stage_scan_conv2d.log 2>&1
+echo "conv2d scan rc=$?" >> /tmp/recovery_queue_done
