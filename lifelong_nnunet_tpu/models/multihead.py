@@ -120,7 +120,12 @@ class MultiHeadParams:
         (Sequential / transfer_heads=True). Reference ``:435-458``."""
         if task in self.heads:
             return replace(self, active_task=task)
-        src = self.state_init if use_init else self.heads[self.active_task]
+        # state_init may be empty when restored from a transfer-heads
+        # checkpoint (checkpoint diet skips the duplicate initial-head
+        # blob) — fall back to the active head, which IS the semantics
+        # those trainers use (use_init=False) anyway
+        src = (self.state_init if use_init and self.state_init
+               else self.heads[self.active_task])
         heads = OrderedDict(self.heads)
         heads[task] = jax.tree.map(lambda x: x, src)
         return replace(self, heads=heads, active_task=task)

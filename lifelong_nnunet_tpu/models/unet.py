@@ -278,14 +278,35 @@ class ConvTranspose25D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.conv25d import conv_transpose3d_slicewise
+        import os
+        from jax import lax
+        from ..ops.conv25d import (conv_transpose3d_matmul,
+                                   conv_transpose3d_slicewise,
+                                   upsample_eligible)
         kshape = tuple(self.strides) + (x.shape[-1], self.features)
         w = self.param("kernel", nn.initializers.he_normal(), kshape,
                        jnp.float32)
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        y = conv_transpose3d_slicewise(x.astype(self.dtype),
-                                       w, tuple(self.strides))
+        # mode: "matmul" = octant-pair matmuls w/ free W-merge (exact,
+        # no conv lowering at all), "slicewise" = per-D-tap 2D transposed
+        # convs.  Both exact vs nn.ConvTranspose (k==s taps don't overlap).
+        # The shape gate lives HERE (call time) so callers can use this
+        # module unconditionally: small deep-decoder levels fall through
+        # to the direct lax path, which measured fine at 32^3-and-below.
+        mode = os.environ.get("LNN_UPT_MODE", "matmul")
+        xd = x.astype(self.dtype)
+        strides = tuple(self.strides)
+        if x.ndim == 5 and upsample_eligible(x.shape, strides, strides):
+            if mode == "matmul" and strides == (2, 2, 2):
+                y = conv_transpose3d_matmul(xd, w, strides)
+            else:
+                y = conv_transpose3d_slicewise(xd, w, strides)
+        else:
+            dn = (("NDHWC", "DHWIO", "NDHWC") if x.ndim == 5
+                  else ("NHWC", "HWIO", "NHWC"))
+            y = lax.conv_transpose(xd, w.astype(self.dtype), strides,
+                                   "VALID", dimension_numbers=dn)
         return y + b.astype(y.dtype)
 
 
@@ -403,9 +424,8 @@ class GenericUNet(nn.Module):
             skip = skips[self.num_pool - 1 - d]
             up_stride = tuple(self.pool_op_kernel_sizes[self.num_pool - 1 - d])
             feats = skip.shape[-1]
-            from ..ops.conv25d import upsample_eligible
-            if self.conv25d and h.ndim == 5 \
-                    and upsample_eligible(h.shape, up_stride, up_stride):
+            if self.conv25d and h.ndim == 5:
+                # shape gate (upsample_eligible) is inside the module
                 h = ConvTranspose25D(feats, up_stride, dtype=self.dtype,
                                      name=f"up{d}")(h)
             else:
@@ -462,8 +482,10 @@ def maybe_pallas_conv(model):
         model = model.clone(blocked_conv=True)
     # 2.5D conv decomposition for the big-volume stages (ops/conv25d) —
     # LNN_CONV25D=0 opts out; default-on pending the chip measurement in
-    # results/r4/stage_scan_conv25d.log (the route only fires on >=2M-voxel
-    # items, so small-patch families are unaffected).
+    # results/r4/stage_scan_conv25d.log (the route only fires on stride-1
+    # C<=64 convs with >=256k voxels/item and N*D>=64 — see
+    # ops/conv25d.eligible — so small-patch families like hippocampus
+    # 56x40x40 are unaffected).
     if os.environ.get("LNN_CONV25D", "1") != "0" \
             and hasattr(model, "conv25d"):
         model = model.clone(conv25d=True)

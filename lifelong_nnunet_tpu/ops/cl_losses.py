@@ -39,7 +39,8 @@ def quadratic_penalty(params_flat: dict, anchors: list, lam: float,
                 continue
             if k not in anchor["params"]:
                 continue
-            w = anchor["weight"][k]
+            # anchors may be stored bf16 (checkpoint diet) — upcast here
+            w = anchor["weight"][k].astype(jnp.float32)
             diff = theta.astype(jnp.float32) - anchor["params"][k].astype(jnp.float32)
             total = total + jnp.sum(w * diff * diff)
     return factor * total

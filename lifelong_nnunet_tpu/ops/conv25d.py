@@ -41,6 +41,79 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _conv2d_phase_strided(x2: jax.Array, w2: jax.Array,
+                          sh: int, sw: int) -> jax.Array:
+    """Stride-2 conv2d re-expressed as stride-1 convs on phase-merged views.
+
+    XLA's strided conv2d at large batch runs the CT downsamples at
+    ~0.3-0.5 T/s (results/r4/stage_scan_conv25d.log s2 rows,
+    ab_upsample.log) while the SAME-shape stride-1 conv reaches 25-45 T/s.
+    The fix never materializes a strided gather:
+
+      * W stride 2: ``(..., W, C) -> (..., W/2, 2C)`` is a FREE view
+        (pure index split); the even/odd column taps become channel
+        halves of a kernel-width-2 stride-1 conv.
+      * H stride 2: even/odd row planes are strided slices along a
+        *major* axis — contiguous (W/2 * 2C)-element runs (8 KB at CT
+        scale), not the 64-byte relayout wall — feeding two stride-1
+        convs (kh=1 for the center tap row, kh=2 for the +/-1 rows)
+        that sum.
+
+    Dense-FLOP overhead vs the ideal strided conv: 12C vs 9C MACs per
+    output (the merged kernels carry a few structurally-zero C-blocks) —
+    a 4/3 cost for a measured ~50x regime win.  Exact (zeros contribute
+    nothing); autodiff gives the backward pass through the same views.
+
+    x2: (B, H, W, C); w2: (3, 3, C, Co); SAME-symmetric (k//2) padding;
+    sh, sw in {1, 2}; H even when sh==2, W even when sw==2.
+    """
+    B, H, W, C = x2.shape
+    kh, kw, ci, Co = w2.shape
+    assert (kh, kw) == (3, 3) and ci == C
+    dn = ("NHWC", "HWIO", "NHWC")
+    z = jnp.zeros((C, Co), w2.dtype)
+
+    if sw == 2:
+        assert W % 2 == 0
+        xv = x2.reshape(B, H, W // 2, 2 * C)
+        # col-merged kernel rows: for source-row tap th, the three column
+        # taps land in (block ow-1, odd half) / (block ow, even) /
+        # (block ow, odd); merged channel layout is [even C | odd C]
+        def col_merge(th):
+            # (2 blocks, 2C, Co)
+            b0 = jnp.concatenate([z, w2[th, 0]], axis=0)        # block ow-1
+            b1 = jnp.concatenate([w2[th, 1], w2[th, 2]], axis=0)  # block ow
+            return jnp.stack([b0, b1], axis=0)                  # (2, 2C, Co)
+        if sh == 2:
+            assert H % 2 == 0
+            xe, xo = xv[:, 0::2], xv[:, 1::2]
+            ke = col_merge(1)[None]                              # (1,2,2C,Co)
+            ko = jnp.stack([col_merge(0), col_merge(2)], axis=0)  # (2,2,..)
+            ye = lax.conv_general_dilated(
+                xe, ke, (1, 1), [(0, 0), (1, 0)], dimension_numbers=dn)
+            yo = lax.conv_general_dilated(
+                xo, ko, (1, 1), [(1, 0), (1, 0)], dimension_numbers=dn)
+            return ye + yo
+        k3 = jnp.stack([col_merge(t) for t in range(3)], axis=0)  # (3,2,..)
+        return lax.conv_general_dilated(
+            xv, k3, (1, 1), [(1, 1), (1, 0)], dimension_numbers=dn)
+
+    assert sh == 2 and H % 2 == 0
+    xe, xo = x2[:, 0::2], x2[:, 1::2]
+    ye = lax.conv_general_dilated(
+        xe, w2[1:2], (1, 1), [(0, 0), (1, 1)], dimension_numbers=dn)
+    yo = lax.conv_general_dilated(
+        xo, w2[::2], (1, 1), [(1, 0), (1, 1)], dimension_numbers=dn)
+    return ye + yo
+
+
+def _phase_strided_ok(H: int, W: int, kh: int, kw: int,
+                      sh: int, sw: int) -> bool:
+    return ((kh, kw) == (3, 3) and sh in (1, 2) and sw in (1, 2)
+            and (sh, sw) != (1, 1)
+            and (sh == 1 or H % 2 == 0) and (sw == 1 or W % 2 == 0))
+
+
 def conv3d_slicewise(x: jax.Array, w: jax.Array,
                      stride: Sequence[int] = (1, 1, 1),
                      accum_dtype=jnp.float32) -> jax.Array:
@@ -60,9 +133,15 @@ def conv3d_slicewise(x: jax.Array, w: jax.Array,
     x2 = x.reshape(N * D, H, W, Ci)                 # free: D is batch-adjacent
     # (kd, kh, kw, Ci, Co) -> (kh, kw, Ci, kd*Co): kd taps as channel groups
     w2 = jnp.moveaxis(w, 0, 3).reshape(kh, kw, Ci, kd * Co).astype(x.dtype)
-    y2 = lax.conv_general_dilated(
-        x2, w2, (sh, sw), [(ph, ph), (pw, pw)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if _phase_strided_ok(H, W, kh, kw, sh, sw):
+        # strided conv2d at large batch is the 0.3-0.5 T/s pathology
+        # (results/r4 s2 rows); the phase-merged stride-1 formulation
+        # stays in the fast regime
+        y2 = _conv2d_phase_strided(x2, w2, sh, sw)
+    else:
+        y2 = lax.conv_general_dilated(
+            x2, w2, (sh, sw), [(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     Ho, Wo = y2.shape[1], y2.shape[2]
     if kd == 1:                                     # pure per-slice conv
         y = y2.reshape(N, D, Ho, Wo, Co)
@@ -93,11 +172,20 @@ def conv25d_in_lrelu(x: jax.Array, w: jax.Array,
     additive term exactly), IN statistics are f32 over (D, H, W) per (N, C).
     """
     y = conv3d_slicewise(x, w, strides)
+    # one-pass f32 statistics (mean(x^2) - mean^2) matching models/unet.
+    # InstanceNorm: the convert+square fuse INTO the reduction so no f32
+    # copy of the feature map is materialized (the two-pass (x-mean)
+    # formulation held ~2 GB f32 temps per stage at CT scale and this
+    # route targets exactly the biggest tensors); normalization arithmetic
+    # stays in the compute dtype.
     yf = y.astype(jnp.float32)
     mean = jnp.mean(yf, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(yf - mean), axis=(1, 2, 3), keepdims=True)
-    yn = (yf - mean) * lax.rsqrt(var + 1e-5)
-    yn = yn * scale.astype(jnp.float32) + offset.astype(jnp.float32)
+    var = jnp.mean(jnp.square(yf), axis=(1, 2, 3), keepdims=True) \
+        - jnp.square(mean)
+    inv = lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    dt = y.dtype
+    yn = (y - mean.astype(dt)) * (inv.astype(dt) * scale.astype(dt)) \
+        + offset.astype(dt)
     return jnp.where(yn >= 0, yn, yn * negative_slope).astype(out_dtype)
 
 
@@ -166,8 +254,13 @@ def conv_transpose3d_matmul(x: jax.Array, w: jax.Array,
     for i in range(2):
         cols = []
         for j in range(2):
+            # lax.conv_transpose (transpose_kernel=False) flips ALL spatial
+            # taps: out[2d+i, 2h+j, 2w+k] = x[d,h,w] @ w[1-i, 1-j, 1-k]
+            # (delta-input probe, round 5); select the (1-i, 1-j) plane and
+            # reverse k so the merged channel order is still (k, c)
             # (Ci, k*Co) with k outer of Co — the free-merge ordering
-            wij = w[i, j].transpose(1, 0, 2).reshape(Ci, 2 * Co)
+            wij = w[1 - i, 1 - j, ::-1].transpose(1, 0, 2).reshape(
+                Ci, 2 * Co)
             yij = (x2 @ wij).reshape(N * D, H, 2 * W, Co)
             cols.append(yij)
         # H-interleave: contiguous (2W*Co) runs per (n*d, h)

@@ -53,10 +53,17 @@ def _mh_from_state(d: dict) -> MultiHeadParams:
 
 def save_checkpoint(path_base: str, mh: MultiHeadParams, opt_state=None,
                     cl_state=None, step: int = 0, epoch: int = 0,
-                    manifest: dict | None = None, extra: dict | None = None):
+                    manifest: dict | None = None, extra: dict | None = None,
+                    include_state_init: bool = True):
     os.makedirs(os.path.dirname(path_base) or ".", exist_ok=True)
     mh_state = _mh_to_state(mh)
     meta = mh_state.pop("meta")
+    if not include_state_init:
+        # checkpoint diet: transfer-heads trainers (Sequential family) seed
+        # new heads from the ACTIVE head, never from state_init — dropping
+        # the duplicate initial-head copy; models.multihead.add_new_task
+        # falls back to the active head if state_init is empty
+        mh_state["state_init"] = {}
     blob = {
         "mh": jax.tree.map(np.asarray, mh_state),
         "opt_state": jax.tree.map(np.asarray, opt_state) if opt_state is not None else {},

@@ -150,8 +150,9 @@ class MultiHeadTrainer:
         if os.environ.get("LNN_CONV25D", "1") != "0" \
                 and hasattr(self.model, "conv25d"):
             # 2.5D decomposition for big-volume C<=64 stages (ops/conv25d):
-            # plain lax, differentiable; only fires on >=2M-voxel items so
-            # small-patch training is untouched
+            # plain lax, differentiable; only fires on stride-1 items with
+            # >=256k voxels (64^3 up) and N*D>=64 (ops/conv25d.eligible),
+            # so small-patch training (hippocampus-scale) is untouched
             self.model = self.model.clone(conv25d=True)
         if self.opts.base_num_features or self.opts.max_num_features:
             self.model = self.model.clone(
@@ -630,7 +631,10 @@ class MultiHeadTrainer:
             os.path.join(self.output_folder, name), self.mh,
             opt_state=self.state.opt_state if self.state else None,
             cl_state=self.cl_state, step=self.global_step, epoch=self.epoch,
-            manifest=manifest)
+            manifest=manifest,
+            # transfer-heads trainers never read state_init (new heads copy
+            # the active head) — skip the duplicate initial-head blob
+            include_state_init=not self.TRANSFER_HEADS)
 
     def load_checkpoint(self, name: str = "model_final_checkpoint",
                         restore_opt: bool = True):

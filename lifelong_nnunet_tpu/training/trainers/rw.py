@@ -94,9 +94,14 @@ class RWTrainer(MultiHeadTrainer):
         self.mh = self.mh.absorb(self.state.params, task)
         r = self.cl_state["running"]
         norm = normalize_scores(r["scores"])
+        # score_sets is the only O(tasks x params) state RW keeps — store
+        # bf16 (checkpoint diet, VERDICT r4 weak #8); the average below
+        # upcasts to f32 before it enters the penalty anchor
+        norm = {k: v.astype(jnp.bfloat16) for k, v in norm.items()}
         sets = self.cl_state["score_sets"] + [norm]
         n = len(sets)
-        avg = {k: sum(s[k] for s in sets) / n for k in norm}
+        avg = {k: sum(s[k].astype(jnp.float32) for s in sets) / n
+               for k in norm}
         flat = flatten(self.state.params)
         self.cl_state = {
             "running": {**r,

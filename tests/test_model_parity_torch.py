@@ -34,7 +34,11 @@ from lifelong_nnunet_tpu.models.unet import GenericUNet  # noqa: E402
 
 
 def _t(x: np.ndarray) -> "torch.Tensor":
-    return torch.from_numpy(np.ascontiguousarray(x))
+    # MUST copy: on CPU ``np.asarray(jax_array)`` can be a zero-copy view of
+    # the live jax buffer, and ``torch.from_numpy`` shares memory — a torch
+    # optimizer step would then silently corrupt the jax params (bit us in
+    # test_trainer_trajectory_torch round 5).
+    return torch.from_numpy(np.array(x, copy=True))
 
 
 def _conv_nd(dim):

@@ -744,7 +744,12 @@ def main():
                 cell = f"{dt*1e3:.1f} ({flops/dt/1e12:.1f})"
             except Exception as e:
                 cell = f"FAIL:{type(e).__name__}: {str(e)[:120]}"
-            sstr = "s2" if stride != (1, 1, 1) else "s1"
+            # the chained s2 row upsamples the carry with jnp.repeat — a
+            # harness artifact that dominated the timing (bogus 0.3 T/s,
+            # RESULTS.md round 4); keep the row but label it so it can't
+            # re-mislead — the one-shot isolation lives in ab_upsample.py
+            sstr = ("s2 [harness artifact — see one-shot s2 isolation]"
+                    if stride != (1, 1, 1) else "s1")
             print(f"| conv25d b{b} {sp[0]}^3 C{ci}->{c} {sstr} | {cell} |",
                   flush=True)
         for sp, c, b in (((128, 128, 128), 32, 2), ((128, 128, 128), 32, 4),
