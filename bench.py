@@ -406,7 +406,9 @@ WORKLOADS = {
     "hippocampus": ("sliding_window_3d_fullres_hippocampus_tta8",
                     lambda: bench_sliding_window(
                         HIPPO, "sliding_window_3d_fullres_hippocampus_tta8",
-                        A100_REFERENCE_VOL_PER_S, volume_batch=8)),
+                        A100_REFERENCE_VOL_PER_S,
+                        volume_batch=int(os.environ.get("LNN_HIPPO_VB",
+                                                        "8")))),
 }
 # opt-in extras, NOT part of --workload all (see CT_FULL note)
 EXTRA_WORKLOADS = {

@@ -294,11 +294,20 @@ class ConvTranspose25D(nn.Module):
         # The shape gate lives HERE (call time) so callers can use this
         # module unconditionally: small deep-decoder levels fall through
         # to the direct lax path, which measured fine at 32^3-and-below.
-        mode = os.environ.get("LNN_UPT_MODE", "matmul")
+        mode = os.environ.get("LNN_UPT_MODE", "pallas")
         xd = x.astype(self.dtype)
         strides = tuple(self.strides)
         if x.ndim == 5 and upsample_eligible(x.shape, strides, strides):
-            if mode == "matmul" and strides == (2, 2, 2):
+            kshape_full = strides + (x.shape[-1], self.features)
+            if mode == "pallas" and strides == (2, 2, 2):
+                from ..ops.pallas.interleave import (
+                    conv_transpose3d_matmul_pallas)
+                from ..ops.pallas.interleave import supported as _ilv_ok
+                if _ilv_ok(x.shape, kshape_full, xd.dtype):
+                    y = conv_transpose3d_matmul_pallas(xd, w)
+                else:
+                    y = conv_transpose3d_matmul(xd, w, strides)
+            elif mode in ("matmul", "pallas") and strides == (2, 2, 2):
                 y = conv_transpose3d_matmul(xd, w, strides)
             else:
                 y = conv_transpose3d_slicewise(xd, w, strides)

@@ -98,8 +98,9 @@ def _ileave_bwd(interpret, _res, g):
 interleave_up2.defvjp(_ileave_fwd, _ileave_bwd)
 
 
-def supported(x_shape, w_shape, dtype) -> bool:
-    """Gate: 5D k=s=2 with a lane-aligned merged row and H divisible."""
+def shape_ok(x_shape, w_shape, dtype) -> bool:
+    """Backend-independent part of the gate: 5D k=s=2 with a lane-aligned
+    merged row."""
     if len(x_shape) != 5 or len(w_shape) != 5:
         return False
     N, D, H, W, Ci = x_shape
@@ -108,6 +109,13 @@ def supported(x_shape, w_shape, dtype) -> bool:
         return False
     M = 2 * W * Co
     return M % 128 == 0 and H >= 1 and dtype in (jnp.bfloat16, jnp.float32)
+
+
+def supported(x_shape, w_shape, dtype) -> bool:
+    """Routing gate: TPU backend + shape_ok."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return shape_ok(x_shape, w_shape, dtype)
 
 
 def conv_transpose3d_matmul_pallas(x: jax.Array, w: jax.Array,

@@ -72,6 +72,13 @@ def main(argv=None):
     p.add_argument("-n_workers", type=int, default=1,
                    help="experiments run in parallel subprocesses (reference's "
                         "--run_in_parallel; use >1 only with per-worker devices)")
+    p.add_argument("-devices_per_exp", type=int, default=0,
+                   help="partition the host's chips across workers: worker i "
+                        "owns devices [i*dpe, (i+1)*dpe) (reference's per-GPU "
+                        "CUDA_VISIBLE_DEVICES partitioning, "
+                        "param_searcher.py:276-357) and trains data-parallel "
+                        "over them")
+    p.add_argument("-device_backend", choices=["tpu", "cpu"], default="tpu")
     p.add_argument("-p", "--plans_identifier", default=paths.default_plans_identifier)
     args = p.parse_args(argv)
 
@@ -91,7 +98,9 @@ def main(argv=None):
         search_mode=args.search_mode, grid=_parse_grid(args.grid),
         rand_ranges=_parse_ranges(args.ranges), num_random=args.num_exp,
         fixate=_parse_fixate(args.fixate), seed=args.seed, options=opts)
-    results = searcher.start_searching(n_workers=args.n_workers)
+    results = searcher.start_searching(n_workers=args.n_workers,
+                                       devices_per_exp=args.devices_per_exp,
+                                       device_backend=args.device_backend)
     print(f"{len(results)} experiment(s) done -> {out}")
     return 0
 

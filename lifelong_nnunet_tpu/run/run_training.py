@@ -70,6 +70,11 @@ def build_parser(extension: str) -> argparse.ArgumentParser:
                    help="override a method's default head-transfer behavior")
     p.add_argument("--disable_saving", action="store_true",
                    help="delete intermediate per-task checkpoints at the end")
+    p.add_argument("-val_mode", choices=["sliding_window", "patches"],
+                   default="sliding_window",
+                   help="periodic-validation mode: 'patches' = the "
+                        "reference's patch-sampled val (metric values "
+                        "comparable 1:1 with its val_metrics.json)")
     p.add_argument("--use_progress_val", action="store_true",
                    help="run cross-task validation every save_interval epochs")
     p.add_argument("--fp32", action="store_true", help="disable bfloat16 compute")
@@ -157,6 +162,7 @@ def run_training(extension: str, argv=None):
             split_at=args.split_at, fold=fold,
             dtype="float32" if args.fp32 else "bfloat16",
             use_progress_val=args.use_progress_val,
+            val_mode=args.val_mode,
             patch_size=tuple(args.patch_size) if args.patch_size else None,
             batch_size=args.batch_size, augment=not args.no_augment,
             base_num_features=args.base_features, max_num_features=args.max_features,

@@ -63,6 +63,13 @@ class TrainerOptions:
     fold: int = 0
     use_param_split: bool = False          # param-search 80:20 split
     use_progress_val: bool = False         # _perform_validation every save_every
+    # periodic-validation mode: "sliding_window" (ours — full-volume metrics)
+    # or "patches" (the reference's patch-sampled periodic val,
+    # multihead/nnUNetTrainerMultiHead.py:678-901 — random oversampled val
+    # patches, per-subject tp/fp/fn accumulated across draws; metric values
+    # are 1:1 comparable with the reference's val_metrics.json during
+    # training).  Final evaluation always uses sliding-window.
+    val_mode: str = "sliding_window"
     mixed_precision_on_cpu: bool = False   # tests force f32 on CPU
     base_num_features: int | None = None   # None -> plans value (tests shrink this)
     max_num_features: int | None = None
@@ -554,6 +561,11 @@ class MultiHeadTrainer:
                 head = self.mh.tasks[-1]
             params = self.mh.assemble(head)
             apply_fn = lambda p, x: self.model.apply({"params": p}, x)
+            if self.opts.val_mode == "patches" and not call_for_eval:
+                results[t] = {"head": head,
+                              "subjects": self._patch_validation(
+                                  ds, val, params, t)}
+                continue
             per_subject = {}
             for case in val:
                 arr = np.asarray(ds.load(case))
@@ -577,6 +589,50 @@ class MultiHeadTrainer:
             json.dump(hist, f, indent=2)
         self._write_val_csv(path.replace(".json", ".csv"), hist)
         return results
+
+    def _patch_validation(self, ds, val_cases, params, task: str) -> dict:
+        """Reference-comparable patch-sampled validation (``multihead/
+        nnUNetTrainerMultiHead.py:678-901``): draw ``val_iters`` batches of
+        random foreground-oversampled patches from the task's val split
+        (no augmentation, like the reference's ``get_no_augmentation``
+        loaders), accumulate hard tp/fp/fn PER SUBJECT across draws (the
+        reference's ``finish_online_evaluation_extended`` ``:963-1049``),
+        and report per-subject Dice/IoU over the sampled patches."""
+        import jax
+        sampler = PatchSampler(ds, val_cases, self.patch_size,
+                               self.batch_size,
+                               oversample_foreground_percent=self.opts.oversample,
+                               seed=self.opts.seed + 4242)
+
+        @jax.jit
+        def _counts(p, data, seg):
+            outputs = self.model.apply({"params": p}, data)
+            pred = jnp.argmax(outputs[0], axis=-1)
+            valid = seg >= 0
+            per = []
+            ax = tuple(range(1, pred.ndim))
+            for c in range(1, self.num_classes):
+                hit = (pred == c) & valid
+                lab = (seg == c) & valid
+                per.append(jnp.stack([jnp.sum(hit & lab, axis=ax),
+                                      jnp.sum(hit & ~lab, axis=ax),
+                                      jnp.sum(~hit & lab, axis=ax)], -1))
+            return jnp.stack(per, 1)          # [B, C-1, 3]
+
+        acc: dict = {}
+        for _ in range(self.opts.val_iters):
+            b = sampler.next_batch()
+            counts = np.asarray(_counts(params, jnp.asarray(b["data"]),
+                                        jnp.asarray(b["seg"], jnp.int32)))
+            for key, row in zip(b["keys"], counts):
+                acc[key] = acc.get(key, 0) + row
+        out = {}
+        for case, row in acc.items():
+            tp, fp, fn = row[:, 0], row[:, 1], row[:, 2]
+            dice = 2 * tp / np.maximum(2 * tp + fp + fn, 1)
+            iou = tp / np.maximum(tp + fp + fn, 1)
+            out[case] = {"dice": dice.tolist(), "iou": iou.tolist()}
+        return out
 
     @staticmethod
     def _write_val_csv(path: str, history: list):

@@ -6,7 +6,7 @@ import numpy as np
 from jax import lax
 
 from lifelong_nnunet_tpu.ops.pallas.interleave import (
-    conv_transpose3d_matmul_pallas, supported)
+    conv_transpose3d_matmul_pallas, shape_ok)
 
 
 def _ref(x, w):
@@ -20,7 +20,7 @@ def test_matches_lax_conv_transpose():
         x = jnp.asarray(rng.normal(size=shape), jnp.float32)
         w = jnp.asarray(rng.normal(size=(2, 2, 2, shape[-1], cout)),
                         jnp.float32)
-        assert supported(x.shape, w.shape, jnp.float32)
+        assert shape_ok(x.shape, w.shape, jnp.float32)
         got = conv_transpose3d_matmul_pallas(x, w, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(_ref(x, w)),
                                    rtol=1e-5, atol=1e-5)
@@ -47,5 +47,5 @@ def test_gradients_match():
 
 
 def test_gate_rejects_misaligned():
-    assert not supported((1, 2, 3, 3, 3), (2, 2, 2, 3, 3), jnp.float32)
-    assert not supported((1, 2, 4, 4, 4), (3, 3, 3, 4, 4), jnp.float32)
+    assert not shape_ok((1, 2, 3, 3, 3), (2, 2, 2, 3, 3), jnp.float32)
+    assert not shape_ok((1, 2, 4, 4, 4), (3, 3, 3, 4, 4), jnp.float32)

@@ -103,3 +103,24 @@ def test_param_search_parallel_workers(stages, tmp_path):
     with open(tmp_path / "par" / "backup.json") as f:
         import json
         assert len(json.load(f)["finished"]) == 2
+
+
+def test_param_search_device_partitioning(stages, tmp_path):
+    """Per-slice device partitioning (reference param_searcher.py:276-357:
+    one CUDA_VISIBLE_DEVICES subset per experiment process): each worker
+    claims a distinct device slot, sees exactly devices_per_exp devices,
+    and trains data-parallel over its own subset."""
+    plans, st = stages
+    searcher = ParamSearcher("ewc", plans, "3d_fullres", st,
+                             str(tmp_path / "dp"),
+                             search_mode="grid",
+                             grid={"ewc_lambda": [0.1, 0.4]},
+                             options=tiny_opts())
+    results = searcher.start_searching(
+        n_workers=2, devices_per_exp=2, device_backend="cpu")
+    assert len(results) == 2
+    slots = {r["device_slot"] for r in results.values()}
+    assert slots == {"0", "1"}, slots
+    for r in results.values():
+        assert r["n_jax_devices"] == 2
+        assert np.isfinite(r["final_mean_dice"])

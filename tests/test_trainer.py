@@ -228,3 +228,32 @@ def test_model_parallel_halves_per_device_param_bytes(two_tasks, tmp_path):
     sharded = per_device_param_bytes(2)
     # conv kernels dominate the byte count; biases/norms stay replicated
     assert sharded < 0.62 * dp_only, (sharded, dp_only)
+
+
+def test_patch_based_progress_validation(two_tasks, tmp_path):
+    """val_mode='patches': the reference's patch-sampled periodic validation
+    (multihead/nnUNetTrainerMultiHead.py:678-901) — per-subject Dice/IoU
+    accumulated over random val patches, written to val_metrics.json."""
+    import json
+    import os
+    from lifelong_nnunet_tpu.training.trainers import SequentialTrainer
+
+    plans, stages = two_tasks
+    opts = small_opts(val_mode="patches", val_iters=3, use_progress_val=False)
+    tr = SequentialTrainer(plans, "3d_fullres", str(tmp_path / "pv"), opts)
+    tr.train_task("Task097_SynthA", stages["Task097_SynthA"])
+    res = tr._perform_validation(tag="patchmode")
+    assert "Task097_SynthA" in res
+    subjects = res["Task097_SynthA"]["subjects"]
+    assert subjects, "no subjects accumulated"
+    for case, m in subjects.items():
+        assert len(m["dice"]) == tr.num_classes - 1
+        assert all(0.0 <= v <= 1.0 for v in m["dice"])
+        assert all(0.0 <= v <= 1.0 for v in m["iou"])
+    assert os.path.isfile(os.path.join(tr.output_folder, "val_metrics.json"))
+    with open(os.path.join(tr.output_folder, "val_metrics.json")) as f:
+        hist = json.load(f)
+    assert hist[-1]["tag"] == "patchmode"
+    # eval calls stay sliding-window (full-volume metrics) regardless
+    res_eval = tr._perform_validation(call_for_eval=True)
+    assert "Task097_SynthA" in res_eval

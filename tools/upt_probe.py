@@ -116,3 +116,28 @@ for sp, c, b in ((32, 128, 4), (16, 256, 4), (8, 320, 4)):
                          .astype(jnp.float32)), shape, flops)
 
 print("done", flush=True)
+
+# ---- 4. hippocampus-scale conv25d vs XLA (ViT/train-MFU lever) -----------
+# eligible() excludes <256k-voxel items untested; if the 2.5D route wins at
+# (b, 40, 56, 40, C32) (N*D = 160-360 2D batch), lower the gate -> both the
+# ViT train step and hippocampus train MFU inherit the win.
+for b in (4, 9):
+    for cin, cout in ((32, 32), (64, 64)):
+        sp = (40 if cin == 32 else 20, 56 if cin == 32 else 28,
+              40 if cin == 32 else 20)
+        w = jnp.asarray(np.random.RandomState(3).normal(
+            scale=1 / np.sqrt(27 * cin), size=(3, 3, 3, cin, cout)),
+            jnp.bfloat16)
+        flops = 2 * b * int(np.prod(sp)) * cin * cout * 27
+        shape = (b,) + sp + (cin,)
+        tag = f"hippo {sp[0]}x{sp[1]}x{sp[2]} C{cin}->{cout} b{b}"
+        timed(f"c25d {tag}", lambda x, w=w: jnp.sum(
+            conv3d_slicewise(x, w, (1, 1, 1)).astype(jnp.float32)),
+            shape, flops)
+        timed(f"xla  {tag}", lambda x, w=w: jnp.sum(
+            lax.conv_general_dilated(
+                x, w, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            .astype(jnp.float32)), shape, flops)
+
+print("done2", flush=True)
