@@ -294,10 +294,19 @@ class ConvTranspose25D(nn.Module):
         # The shape gate lives HERE (call time) so callers can use this
         # module unconditionally: small deep-decoder levels fall through
         # to the direct lax path, which measured fine at 32^3-and-below.
-        mode = os.environ.get("LNN_UPT_MODE", "pallas")
+        # DEFAULT = "direct" (round-5 chained measurements,
+        # results/r5/upt_probe2.log): with the relay's ~25-35 ms
+        # per-dispatch floor subtracted, lax.conv_transpose is the FASTEST
+        # route at every decoder level (7.8 ms / 4.4 T/s at b4 64^3
+        # C64->32 vs 9.7 slicewise / 11.9 matmul+stack / 14.1 pallas) —
+        # the r4 "0.9 T/s ConvTranspose hog" was a one-shot-measurement
+        # artifact.  The bare octant matmuls alone cost 5.6 ms (skinny
+        # K=64), so no matmul-based route can meaningfully beat direct.
+        mode = os.environ.get("LNN_UPT_MODE", "direct")
         xd = x.astype(self.dtype)
         strides = tuple(self.strides)
-        if x.ndim == 5 and upsample_eligible(x.shape, strides, strides):
+        if mode != "direct" and x.ndim == 5 \
+                and upsample_eligible(x.shape, strides, strides):
             kshape_full = strides + (x.shape[-1], self.features)
             if mode == "pallas" and strides == (2, 2, 2):
                 from ..ops.pallas.interleave import (

@@ -223,6 +223,7 @@ def test_vit_unet_consumes_routing_flags(monkeypatch):
 
     monkeypatch.setattr(c25, "eligible", lambda *a: True)
     monkeypatch.setattr(c25, "upsample_eligible", lambda *a: True)
+    monkeypatch.setenv("LNN_UPT_MODE", "matmul")  # default "direct" (r5)
     monkeypatch.setattr(c25, "conv3d_slicewise", spy_conv)
     monkeypatch.setattr(c25, "conv_transpose3d_matmul", spy_upt)
 
@@ -254,6 +255,7 @@ def test_unet_upsample_route_matches(monkeypatch):
     # force the upsample gate open.
     monkeypatch.setattr("lifelong_nnunet_tpu.ops.conv25d.upsample_eligible",
                         lambda *a: True)
+    monkeypatch.setenv("LNN_UPT_MODE", "matmul")  # default is "direct" (r5)
     m_25d = GenericUNet(**kw, conv25d=True)
     got = m_25d.apply(params, x)
     assert len(got) == len(ref)
