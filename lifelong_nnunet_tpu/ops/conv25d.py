@@ -84,17 +84,17 @@ def _conv2d_phase_strided(x2: jax.Array, w2: jax.Array,
             b0 = jnp.concatenate([z, w2[th, 0]], axis=0)        # block ow-1
             b1 = jnp.concatenate([w2[th, 1], w2[th, 2]], axis=0)  # block ow
             return jnp.stack([b0, b1], axis=0)                  # (2, 2C, Co)
+        k3 = jnp.stack([col_merge(t) for t in range(3)], axis=0)  # (3,2,..)
         if sh == 2:
             assert H % 2 == 0
-            xe, xo = xv[:, 0::2], xv[:, 1::2]
-            ke = col_merge(1)[None]                              # (1,2,2C,Co)
-            ko = jnp.stack([col_merge(0), col_merge(2)], axis=0)  # (2,2,..)
-            ye = lax.conv_general_dilated(
-                xe, ke, (1, 1), [(0, 0), (1, 0)], dimension_numbers=dn)
-            yo = lax.conv_general_dilated(
-                xo, ko, (1, 1), [(1, 0), (1, 0)], dimension_numbers=dn)
-            return ye + yo
-        k3 = jnp.stack([col_merge(t) for t in range(3)], axis=0)  # (3,2,..)
+            # H stride stays NATIVE in the conv (stride (2,1)): the measured
+            # pathology of strided convs is the MINOR-axis (W) stride
+            # breaking dense vector loads — the W-merge removes it, and a
+            # major-axis H stride is benign.  (The explicit xe/xo H-phase
+            # split variant measured 20.8 ms of relayout-wall slicing at
+            # s0->s1 scale — results/r5/upt_probe3.log phase-slice-only.)
+            return lax.conv_general_dilated(
+                xv, k3, (2, 1), [(1, 1), (1, 0)], dimension_numbers=dn)
         return lax.conv_general_dilated(
             xv, k3, (1, 1), [(1, 1), (1, 0)], dimension_numbers=dn)
 
