@@ -290,28 +290,36 @@ def upsample_eligible(x_shape: Tuple[int, ...], kernel: Sequence[int],
 
 def eligible(x_shape: Tuple[int, ...], kernel: Sequence[int],
              stride: Sequence[int], cin: int, cout: int) -> bool:
-    """Shape gate for the 2.5D route (measured regime, RESULTS.md round 4).
+    """Shape gate for the 2.5D route (measured regimes, RESULTS.md rounds
+    4-5).
 
-    The win is the large-spatial C<=64 stages where XLA's conv3d falls out
-    of its fast regime; small volumes (hippocampus 56^3-scale patches) and
-    the wide deep stages (C>=128 at 32^3/16^3) stay on the Pallas/XLA
-    paths that already measure well there.
+    * Large volumes (>=256k voxels/item, 64^3 up): wins at every measured
+      cin up to 192 with cout<=64 — including the decoder's skip-concat
+      convs (128^3 C96->32: 28.3 vs 16.3 T/s; 64^3 C192->64: 49.6 vs 30.0;
+      results/r5/upt_probe5.log), which round 4's max(cin,cout)<=64 rule
+      wrongly excluded (the dec0 conv is ~1.4 TFLOP at CT b4 — the single
+      biggest op in the forward).
+    * Hippocampus-scale volumes (>=64k voxels/item): wins only for the
+      narrow C<=32 stages (40x56x40 C32->32: 2.44 vs 3.13 ms b4, 6.15 vs
+      6.83 b9); C64 loses at small batch and Cin=1 loses outright
+      (results/r5/upt_probe3.log, upt_probe5.log) — both stay on XLA.
+    * Strided convs stay excluded: every strided formulation measured
+      pathological at C32 (direct 4.8 T/s is the best known;
+      phase-merged/native-H 0.5 T/s — r5 probes).
     """
     if len(x_shape) != 5 or len(kernel) != 3:
         return False
     kd, kh, kw = kernel
     if (kd, kh, kw) not in ((3, 3, 3), (1, 3, 3)):
         return False
-    # stride-1 only: the strided variant measured pathologically slow on
-    # chip (results/r4/stage_scan_conv25d.log, 0.3 T/s at s2 — vs 25-45 T/s
-    # for every stride-1 case); downsample convs stay on the XLA/Pallas
-    # paths until that regression is understood.
     if any(s != 1 for s in stride):
         return False
-    if max(cin, cout) > 64:
-        return False
     d, h, wdim = x_shape[1:4]
-    # large-spatial only: >= 256k voxels per item (64^3 and up — measured
-    # 28-45 T/s at 64^3 C64 and 23-34 T/s at 128^3 C32 vs 9-15 on the
-    # XLA/Pallas paths; hippocampus-scale 56x40x40=90k stays excluded)
-    return d * h * wdim >= (1 << 18) and x_shape[0] * d >= 64
+    vox = d * h * wdim
+    if x_shape[0] * d < 64:
+        return False
+    if vox >= (1 << 18):
+        return cin <= 192 and cout <= 64
+    if vox >= (1 << 16):
+        return 8 <= cin and max(cin, cout) <= 32
+    return False

@@ -101,13 +101,19 @@ def test_eligibility_gate():
     # CT stage 0: eligible
     assert eligible((2, 128, 128, 128, 32), (3, 3, 3), (1, 1, 1), 32, 32)
     assert eligible((4, 128, 128, 128, 1), (3, 3, 3), (1, 1, 1), 1, 32)
-    # hippocampus-scale patches: too small
-    assert not eligible((9, 56, 40, 40, 32), (3, 3, 3), (1, 1, 1), 32, 32)
-    # wide deep stages stay on existing paths
+    # round 5: decoder skip-concat convs (wide cin, cout<=64) now eligible
+    assert eligible((4, 128, 128, 128, 96), (3, 3, 3), (1, 1, 1), 96, 32)
+    assert eligible((4, 64, 64, 64, 192), (3, 3, 3), (1, 1, 1), 192, 64)
+    # round 5: hippocampus-scale C<=32 stages now eligible (measured win)
+    assert eligible((9, 56, 40, 40, 32), (3, 3, 3), (1, 1, 1), 32, 32)
+    # ... but not C64 (loses at small batch) or the Cin=1 input conv
+    assert not eligible((9, 28, 20, 20, 64), (3, 3, 3), (1, 1, 1), 64, 64)
+    assert not eligible((9, 56, 40, 40, 1), (3, 3, 3), (1, 1, 1), 1, 32)
+    # wide deep stages stay on existing paths (cout > 64)
     assert not eligible((2, 128, 128, 128, 128), (3, 3, 3), (1, 1, 1),
                         128, 128)
-    # unsupported kernels/strides (stride-1 only: strided measured 0.3 T/s
-    # on chip — results/r4/stage_scan_conv25d.log)
+    # unsupported kernels/strides (every strided formulation measured
+    # pathological at C32 — r5 probes; direct XLA is least-bad)
     assert not eligible((2, 128, 128, 128, 32), (1, 1, 1), (1, 1, 1), 32, 32)
     assert not eligible((2, 128, 128, 128, 32), (3, 3, 3), (2, 2, 2), 32, 32)
 

@@ -1,0 +1,83 @@
+"""Probe 5: decoder wide-conv gate-extension rows (the suspected CT
+elephant: dec0 conv1 at 128^3 Cin96 = 1.39 TFLOP) + hippo C1->32 rows.
+Smaller stacks (the Cin96 128^3 b4 n=8 stack was 12.9 GB)."""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def chained(tag, op, shape, flops, n=12, reps=3, seed=11):
+    try:
+        def run(xs, s):
+            def body(acc, x):
+                return acc + op(x * s), None
+            acc, _ = lax.scan(body, jnp.float32(0.0), xs)
+            return acc
+        f = jax.jit(run)
+        rng = np.random.RandomState(seed)
+        xs = jnp.asarray(rng.normal(size=(n,) + shape), jnp.bfloat16)
+        float(np.asarray(f(xs, jnp.bfloat16(1.0))))
+        ts = []
+        for r in range(reps):
+            s = jnp.bfloat16(1.0 + 0.125 * (r + 1))
+            t0 = time.perf_counter()
+            float(np.asarray(f(xs, s)))
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts)) / n
+        print(f"| {tag} | {dt*1e3:.2f} | {flops/dt/1e12:.1f} |", flush=True)
+        return dt
+    except Exception as e:
+        print(f"| {tag} | FAIL {type(e).__name__}: {str(e)[:80]} | |",
+              flush=True)
+        return None
+
+
+print(f"backend={jax.default_backend()}", flush=True)
+print("| case | ms/iter | T/s |")
+print("|---|---|---|")
+SUM = lambda y: jnp.sum(y.astype(jnp.float32))  # noqa: E731
+from lifelong_nnunet_tpu.ops.conv25d import conv3d_slicewise  # noqa: E402
+
+# decoder wide convs — most important first (dec0 conv1 is the elephant)
+for sp, cin, cout, b, n in (((128, 128, 128), 96, 32, 2, 4),
+                            ((64, 64, 64), 192, 64, 4, 8),
+                            ((64, 64, 64), 128, 64, 4, 8)):
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=1 / np.sqrt(27 * cin), size=(3, 3, 3, cin, cout)),
+        jnp.bfloat16)
+    flops = 2 * b * int(np.prod(sp)) * cin * cout * 27
+    shape = (b,) + sp + (cin,)
+    tag = f"dec {sp[0]}^3 C{cin}->{cout} b{b}"
+    chained(f"xla  {tag}", lambda x, w=w: SUM(
+        lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))), shape, flops, n)
+    chained(f"c25d {tag}", lambda x, w=w: SUM(
+        conv3d_slicewise(x, w, (1, 1, 1))), shape, flops, n)
+
+# hippo first-conv rows (gate-extension confirmation)
+for cin, cout, b, n in ((1, 32, 9, 10),):
+    sp = (40, 56, 40)
+    w = jnp.asarray(np.random.RandomState(3).normal(
+        scale=1 / np.sqrt(27 * max(cin, 1)), size=(3, 3, 3, cin, cout)),
+        jnp.bfloat16)
+    flops = 2 * b * int(np.prod(sp)) * cin * cout * 27
+    shape = (b,) + sp + (cin,)
+    tag = f"hippoC {sp[0]}x{sp[1]}x{sp[2]} C{cin}->{cout} b{b}"
+    chained(f"c25d {tag}", lambda x, w=w: SUM(
+        conv3d_slicewise(x, w, (1, 1, 1))), shape, flops, n)
+    chained(f"xla  {tag}", lambda x, w=w: SUM(
+        lax.conv_general_dilated(
+            x, w, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))), shape, flops, n)
+print("done", flush=True)
