@@ -163,7 +163,29 @@ class ConvNormAct(nn.Module):
     conv25d: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, skip=None):
+        # concat-free skip fusion (round 5): the decoder's channel concat
+        # materializes ~0.5-1 GB per stage from 64-128-byte interleaved
+        # runs; when the 2.5D route is eligible for the combined width,
+        # split the kernel instead (convolution is linear in channels) —
+        # exact vs conv(concat(...)).  Other routes concat locally
+        # (unchanged behavior).
+        if skip is not None:
+            cin_total = x.shape[-1] + skip.shape[-1]
+            from ..ops.conv25d import eligible
+            if self.conv25d and eligible(x.shape, tuple(self.kernel),
+                                         tuple(self.stride), cin_total,
+                                         self.features):
+                from ..ops.conv25d import conv25d_in_lrelu_pair
+                kshape = tuple(self.kernel) + (cin_total, self.features)
+                w = _ConvParams(kshape, name="Conv_0")()
+                scale, offset = _INParams(self.features,
+                                          name="InstanceNorm_0")()
+                return conv25d_in_lrelu_pair(
+                    x.astype(self.dtype), skip.astype(self.dtype), w,
+                    scale, offset, self.negative_slope,
+                    out_dtype=self.dtype, strides=tuple(self.stride))
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         if self._use_int8(x):
             kshape = tuple(self.kernel) + (x.shape[-1], self.features)
             w = _ConvParams(kshape, name="Conv_0")()
@@ -340,13 +362,13 @@ class ConvStage(nn.Module):
     conv25d: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, skip=None):
         ones = (1,) * len(self.kernel)
         x = ConvNormAct(self.features, self.kernel, self.first_stride, self.dtype,
                         pallas_conv=self.pallas_conv,
                         int8_min_ch=self.int8_min_ch,
                         blocked_conv=self.blocked_conv,
-                        conv25d=self.conv25d, name="block0")(x)
+                        conv25d=self.conv25d, name="block0")(x, skip)
         x = ConvNormAct(self.features, self.kernel, ones, self.dtype,
                         pallas_conv=self.pallas_conv,
                         int8_min_ch=self.int8_min_ch,
@@ -452,12 +474,15 @@ class GenericUNet(nn.Module):
                     padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=nn.initializers.he_normal(), name=f"up{d}",
                 )(h)
-            h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
+            # skip fusion handled inside ConvStage/ConvNormAct: concat-free
+            # split-weight convs where the 2.5D route is eligible, local
+            # concat otherwise — identical math and parameter tree
             h = stage_cls(feats, self.conv_kernel_sizes[self.num_pool - 1 - d],
                           (1,) * dim, self.dtype,
                           pallas_conv=self.pallas_conv,
                           blocked_conv=self.blocked_conv,
-                          conv25d=self.conv25d, name=f"dec{d}")(h)
+                          conv25d=self.conv25d,
+                          name=f"dec{d}")(h, skip.astype(self.dtype))
             taps[f"dec{d}"] = h
             logits = nn.Conv(self.num_classes, kernel_size=(1,) * dim,
                              dtype=self.dtype, param_dtype=jnp.float32,

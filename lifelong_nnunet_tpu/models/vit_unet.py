@@ -112,14 +112,14 @@ class GenericViTUNet(GenericUNet):
         for d in range(self.num_pool):
             skip = skips[self.num_pool - 1 - d]
             h = ups[d](h)
-            h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
             h = ConvStage(skip.shape[-1],
                           self.conv_kernel_sizes[self.num_pool - 1 - d],
                           (1,) * dim, self.dtype,
                           pallas_conv=self.pallas_conv,
                           int8_min_ch=self.int8_min_ch,
                           blocked_conv=self.blocked_conv,
-                          conv25d=self.conv25d, name=f"dec{d}")(h)
+                          conv25d=self.conv25d,
+                          name=f"dec{d}")(h, skip.astype(self.dtype))
             taps[f"dec{d}"] = h
             if self.vit_version == "V4":
                 v = vit(h, idx=d, task_idx=self.active_task_idx)

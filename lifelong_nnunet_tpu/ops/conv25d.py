@@ -189,6 +189,123 @@ def conv25d_in_lrelu(x: jax.Array, w: jax.Array,
     return jnp.where(yn >= 0, yn, yn * negative_slope).astype(out_dtype)
 
 
+def conv3d_phase_strided(x: jax.Array, w: jax.Array,
+                         interpret: bool = False) -> jax.Array:
+    """Stride-2 3x3x3 conv as FOUR stride-1 convs on Pallas phase fields.
+
+    Every direct formulation of the stride-2 downsample measured
+    pathological on chip (direct XLA 2.5-4.9 T/s at s0->s1; native-H /
+    XLA phase slices 0.5 T/s — results/r5 probes), while the SAME-shape
+    stride-1 convs run at 28-50 T/s.  This route:
+
+      1. splits x into its 4 (D-parity, H-parity) phase fields with the
+         Pallas contiguous-DMA kernel (ops/pallas/interleave.
+         phase_split_dh — XLA's own lowering of that split is the 20.8 ms
+         relayout wall, the kernel is pure bandwidth);
+      2. takes W parity as a FREE (W/2, 2C) channel view;
+      3. maps each kernel tap (td, th, tw) to exactly one (phase, block
+         offset) pair — giving per-phase stride-1 convs with kernels of
+         size (kd_i<=2, kh_j<=2, 2) whose channel structure carries the W
+         parity (structural zeros: 4/3 dense-FLOP overhead);
+      4. folds D/2 into the conv2d batch (kd taps as channel groups) and
+         reduces D blocks with a contiguous pad/slice shift-add.
+
+    Exact vs ``lax.conv_general_dilated(x, w, (2,2,2), sym pads)`` for
+    even D/H/W; differentiable end-to-end (conv adjoints + the
+    de-interleave custom VJP whose backward is the interleave kernel).
+    """
+    N, D, H, W, Ci = x.shape
+    kd, kh, kw, ci, Co = w.shape
+    assert (kd, kh, kw) == (3, 3, 3) and ci == Ci
+    assert D % 2 == 0 and H % 2 == 0 and W % 2 == 0
+    from .pallas.interleave import phase_split_dh
+    parts = phase_split_dh(x, interpret)     # a_ij: (N, D/2, H/2, W, Ci)
+    Do, Ho, Wo = D // 2, H // 2, W // 2
+    w = w.astype(x.dtype)
+    zc = jnp.zeros((Ci, Co), w.dtype)
+
+    def wmerge(sub):
+        """(kd', kh', 3, Ci, Co) -> 2D kernel (kh', 2, 2Ci, kd'*Co) with W
+        parity in merged channels and kd' taps as output-channel groups."""
+        kdp, khp = sub.shape[0], sub.shape[1]
+        # W-tap structure: pos0 (block wo-1): [0 | w_tw0]; pos1 (block wo):
+        # [w_tw1 | w_tw2]   (merged channel layout [even Ci | odd Ci])
+        z = jnp.broadcast_to(zc, (kdp, khp, Ci, Co))
+        pos0 = jnp.concatenate([z, sub[:, :, 0]], axis=2)
+        pos1 = jnp.concatenate([sub[:, :, 1], sub[:, :, 2]], axis=2)
+        k4 = jnp.stack([pos0, pos1], axis=2)      # (kd', kh', 2, 2Ci, Co)
+        # kd' taps -> output channel groups: (kh', 2, 2Ci, kd'*Co)
+        return jnp.moveaxis(k4, 0, 3).reshape(khp, 2, 2 * Ci, kdp * Co)
+
+    out = None
+    for i in range(2):
+        d_sub = w[1:2] if i == 0 else jnp.stack([w[0], w[2]])
+        for j in range(2):
+            sub = d_sub[:, 1:2] if j == 0 \
+                else jnp.stack([d_sub[:, 0], d_sub[:, 2]], axis=1)
+            kdp, khp = sub.shape[0], sub.shape[1]
+            k2 = wmerge(sub)
+            a = parts[2 * i + j].reshape(N * Do, Ho, Wo, 2 * Ci)
+            y2 = lax.conv_general_dilated(
+                a, k2, (1, 1), [(1, 0) if j == 1 else (0, 0), (1, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y2 = y2.reshape(N, Do, Ho, Wo, kdp, Co)
+            if i == 0:
+                y = y2[..., 0, :]
+            else:
+                # out[bd] = part_w0[bd-1] + part_w2[bd]
+                p0 = jnp.pad(y2[..., 0, :],
+                             ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+                y = p0[:, :Do] + y2[..., 1, :]
+            yf = y.astype(jnp.float32)
+            out = yf if out is None else out + yf
+    return out.astype(x.dtype)
+
+
+def phase_strided_eligible(x_shape, kernel, stride, dtype) -> bool:
+    """Routing gate for conv3d_phase_strided: TPU, 3^3 kernel, full
+    stride 2, even dims, lane-aligned W*C, big-volume regime."""
+    import jax as _jax
+    if _jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if len(x_shape) != 5 or tuple(kernel) != (3, 3, 3) \
+            or tuple(stride) != (2, 2, 2):
+        return False
+    from .pallas.interleave import phase_split_ok
+    if not phase_split_ok(x_shape, dtype):
+        return False
+    d, h, wdim = x_shape[1:4]
+    return d * h * wdim >= (1 << 18) and x_shape[0] * d >= 64
+
+
+def conv25d_in_lrelu_pair(x1: jax.Array, x2: jax.Array, w: jax.Array,
+                          scale: jax.Array, offset: jax.Array,
+                          negative_slope: float = 0.01,
+                          out_dtype=jnp.bfloat16,
+                          strides: Sequence[int] = (1, 1, 1)) -> jax.Array:
+    """Concat-free skip fusion: ``conv(concat([x1, x2]), w)`` ==
+    ``conv(x1, w[..., :C1, :]) + conv(x2, w[..., C1:, :])`` (convolution is
+    linear in channels), followed by the same fused IN+LReLU.
+
+    The channel concat at decoder scale materializes ~0.5-1 GB from
+    64-128-byte interleaved runs (the relayout wall); the split-weight
+    form never builds it, and each partial conv runs in the 2.5D fast
+    regime.  Exact vs the concat formulation (fp32 summation order aside).
+    """
+    c1 = x1.shape[-1]
+    y = conv3d_slicewise(x1, w[..., :c1, :], strides) \
+        + conv3d_slicewise(x2, w[..., c1:, :], strides)
+    yf = y.astype(jnp.float32)
+    mean = jnp.mean(yf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(yf), axis=(1, 2, 3), keepdims=True) \
+        - jnp.square(mean)
+    inv = lax.rsqrt(jnp.maximum(var, 0.0) + 1e-5)
+    dt = y.dtype
+    yn = (y - mean.astype(dt)) * (inv.astype(dt) * scale.astype(dt)) \
+        + offset.astype(dt)
+    return jnp.where(yn >= 0, yn, yn * negative_slope).astype(out_dtype)
+
+
 def conv_transpose3d_slicewise(x: jax.Array, w: jax.Array,
                                stride: Sequence[int]) -> jax.Array:
     """kernel==stride ConvTranspose (the U-Net decoder upsample) via

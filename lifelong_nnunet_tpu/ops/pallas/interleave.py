@@ -98,6 +98,51 @@ def _ileave_bwd(interpret, _res, g):
 interleave_up2.defvjp(_ileave_fwd, _ileave_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def deinterleave2(x, interpret=False):
+    """Inverse of interleave_up2: x (ND, 2, 2H, M) -> 4 arrays (ND, H, M)
+    with a_ij[nd, h] = x[nd, i, 2h+j].  Contiguous-DMA phase split — the
+    building block of the phase-split strided conv (ops/conv25d): XLA
+    materializes the same split through the relayout wall (20.8 ms at CT
+    s0 scale, results/r5/upt_probe3.log phase-slice-only).  Backward is
+    the interleave kernel."""
+    return tuple(_dileave_call(x, interpret=interpret))
+
+
+def _dei_fwd(x, interpret):
+    return tuple(_dileave_call(x, interpret=interpret)), None
+
+
+def _dei_bwd(interpret, _res, g):
+    return (_ileave_call(*g, interpret=interpret),)
+
+
+deinterleave2.defvjp(_dei_fwd, _dei_bwd)
+
+
+def phase_split_dh(x: jax.Array, interpret: bool = False):
+    """Split a 5D volume into its 4 (D-parity, H-parity) phase fields:
+    a_ij[n, bd, bh, w, c] = x[n, 2bd+i, 2bh+j, w, c].  D and H even;
+    W*C must be lane-aligned (%128).  Pure contiguous DMAs; W parity is a
+    later FREE (W/2, 2C) channel view.  Differentiable (backward =
+    interleave)."""
+    N, D, H, W, C = x.shape
+    assert D % 2 == 0 and H % 2 == 0, (D, H)
+    M = W * C
+    xv = x.reshape(N * (D // 2), 2, H, M)
+    parts = deinterleave2(xv, interpret)
+    return tuple(p.reshape(N, D // 2, H // 2, W, C) for p in parts)
+
+
+def phase_split_ok(x_shape, dtype) -> bool:
+    if len(x_shape) != 5:
+        return False
+    N, D, H, W, C = x_shape
+    return (D % 2 == 0 and H % 2 == 0 and W % 2 == 0
+            and (W * C) % 128 == 0
+            and dtype in (jnp.bfloat16, jnp.float32))
+
+
 def shape_ok(x_shape, w_shape, dtype) -> bool:
     """Backend-independent part of the gate: 5D k=s=2 with a lane-aligned
     merged row."""

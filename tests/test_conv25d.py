@@ -270,3 +270,57 @@ def test_unet_upsample_route_matches(monkeypatch):
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_concat_free_skip_fusion_matches(monkeypatch):
+    """ConvStage(h, skip) with the pair route forced == ConvStage on the
+    explicit concat with identical params (convolution is linear in
+    channels)."""
+    import lifelong_nnunet_tpu.ops.conv25d as c25
+    from lifelong_nnunet_tpu.models.unet import ConvStage
+
+    rng = np.random.RandomState(6)
+    h = jnp.asarray(rng.normal(size=(2, 10, 8, 8, 4)), jnp.float32)
+    skip = jnp.asarray(rng.normal(size=(2, 10, 8, 8, 6)), jnp.float32)
+
+    m = ConvStage(features=5, kernel=(3, 3, 3), first_stride=(1, 1, 1))
+    cat = jnp.concatenate([h, skip], axis=-1)
+    params = m.init(jax.random.PRNGKey(0), cat)
+    ref = m.apply(params, cat)
+
+    monkeypatch.setattr(c25, "eligible", lambda *a: True)
+    m_pair = ConvStage(features=5, kernel=(3, 3, 3), first_stride=(1, 1, 1),
+                       conv25d=True)
+    got = m_pair.apply(params, h, skip)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+    # ineligible fall-back: local concat, same result, same param tree
+    m_fb = ConvStage(features=5, kernel=(3, 3, 3), first_stride=(1, 1, 1))
+    got_fb = m_fb.apply(params, h, skip)
+    np.testing.assert_allclose(np.asarray(got_fb), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_phase_strided_conv_matches_direct():
+    """conv3d_phase_strided (Pallas phase split, interpret mode) == the
+    direct stride-2 conv, forward and gradients."""
+    from lifelong_nnunet_tpu.ops.conv25d import conv3d_phase_strided
+    rng = np.random.RandomState(12)
+    for shape, co in (((2, 8, 6, 4, 3), 5), ((1, 4, 4, 8, 2), 4)):
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(3, 3, 3, shape[-1], co)),
+                        jnp.float32)
+        ref = _direct(x, w, (2, 2, 2))
+        got = conv3d_phase_strided(x, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        gx, gw = jax.grad(lambda a, b: jnp.sum(jnp.square(
+            conv3d_phase_strided(a, b, interpret=True))),
+            argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(lambda a, b: jnp.sum(jnp.square(
+            _direct(a, b, (2, 2, 2)))), argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=1e-4, atol=1e-4)
