@@ -171,11 +171,18 @@ class ConvNormAct(nn.Module):
         # exact vs conv(concat(...)).  Other routes concat locally
         # (unchanged behavior).
         if skip is not None:
+            import os
             cin_total = x.shape[-1] + skip.shape[-1]
             from ..ops.conv25d import eligible
-            if self.conv25d and eligible(x.shape, tuple(self.kernel),
-                                         tuple(self.stride), cin_total,
-                                         self.features):
+            # OPT-IN (LNN_PAIR_FUSION=1): the split-weight form measured a
+            # REGRESSION at CT scale on chip (forward 199.7 -> 320.3 ms,
+            # results/r5/ab_fwd_concatfree.log) — XLA evidently schedules
+            # the two partial convs worse than concat+conv.  Kept as a
+            # correct, tested route pending a better schedule.
+            if os.environ.get("LNN_PAIR_FUSION", "0") == "1" \
+                    and self.conv25d and eligible(x.shape, tuple(self.kernel),
+                                                  tuple(self.stride),
+                                                  cin_total, self.features):
                 from ..ops.conv25d import conv25d_in_lrelu_pair
                 kshape = tuple(self.kernel) + (cin_total, self.features)
                 w = _ConvParams(kshape, name="Conv_0")()

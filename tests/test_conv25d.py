@@ -289,6 +289,7 @@ def test_concat_free_skip_fusion_matches(monkeypatch):
     ref = m.apply(params, cat)
 
     monkeypatch.setattr(c25, "eligible", lambda *a: True)
+    monkeypatch.setenv("LNN_PAIR_FUSION", "1")  # opt-in (regressed on chip)
     m_pair = ConvStage(features=5, kernel=(3, 3, 3), first_stride=(1, 1, 1),
                        conv25d=True)
     got = m_pair.apply(params, h, skip)
