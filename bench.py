@@ -127,14 +127,24 @@ def bench_sliding_window(cfg, name: str, baseline: float, window_batch: int = 8,
 
     run(vols[:cfg["warmup"]])
     # median of 3 timed passes: run-to-run variance on the shared axon relay
-    # host is up to ~40% (RESULTS.md round 2) — a single pass is a coin flip
+    # host is up to ~40% (RESULTS.md round 2) — a single pass is a coin flip.
+    # Round 5: ALL workloads take 3 passes (the CT single pass was pure
+    # window luck), and a wildly-disagreeing set (relay slow-mode windows
+    # measured 2-5x degradations, results/r5/bench_final2.log vs
+    # bench_hippo2.log an hour apart) takes 2 extra passes so the median
+    # rides through a transient.
     rates = []
-    for _ in range(3 if cfg["timed"] >= 10 else 1):
+    for _ in range(3):
         t0 = time.perf_counter()
         segs = run(vols)
         dt = time.perf_counter() - t0
         assert segs[0].shape == cfg["volume"] and segs[-1].dtype == np.uint8
         rates.append(cfg["timed"] / dt)
+    if max(rates) / max(min(rates), 1e-9) > 1.5:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run(vols)
+            rates.append(cfg["timed"] / (time.perf_counter() - t0))
     vps = float(np.median(rates))
     return {"metric": name, "value": round(vps, 3), "unit": "volumes/sec/chip",
             "vs_baseline": round(vps / baseline, 3)}
