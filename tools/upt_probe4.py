@@ -15,30 +15,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def chained(tag, op, shape, flops, n=12, reps=3, seed=11):
-    try:
-        def run(xs, s):
-            def body(acc, x):
-                return acc + op(x * s), None
-            acc, _ = lax.scan(body, jnp.float32(0.0), xs)
-            return acc
-        f = jax.jit(run)
-        rng = np.random.RandomState(seed)
-        xs = jnp.asarray(rng.normal(size=(n,) + shape), jnp.bfloat16)
-        float(np.asarray(f(xs, jnp.bfloat16(1.0))))
-        ts = []
-        for r in range(reps):
-            s = jnp.bfloat16(1.0 + 0.125 * (r + 1))
-            t0 = time.perf_counter()
-            float(np.asarray(f(xs, s)))
-            ts.append(time.perf_counter() - t0)
-        dt = float(np.median(ts)) / n
-        print(f"| {tag} | {dt*1e3:.2f} | {flops/dt/1e12:.1f} |", flush=True)
-        return dt
-    except Exception as e:
-        print(f"| {tag} | FAIL {type(e).__name__}: {str(e)[:80]} | |",
-              flush=True)
-        return None
+from tools.probe_harness import chained  # noqa: E402
 
 
 print(f"backend={jax.default_backend()}", flush=True)
