@@ -294,13 +294,15 @@ class ConvNormAct(nn.Module):
 
 
 class ConvTranspose25D(nn.Module):
-    """Drop-in for nn.ConvTranspose (k==s decoder upsample) computed via the
-    2.5D decomposition (ops/conv25d.conv_transpose3d_slicewise): XLA's 3D
-    conv_transpose runs the CT-scale upsample at ~0.9 T/s through its
-    dilated-conv path (results/r4/stage_scan_upT.log); this splits into
-    per-D-tap 2D transposed convs at batch N*D + a contiguous D-interleave.
-    Param tree identical to nn.ConvTranspose (kernel/bias, f32) — exact
-    numerics (taps don't overlap), checkpoints flag-agnostic."""
+    """Drop-in for nn.ConvTranspose (k==s decoder upsample) with selectable
+    lowering (LNN_UPT_MODE).  Round-5 chained measurements
+    (results/r5/upt_probe2.log) showed the direct lax.conv_transpose is the
+    FASTEST route at every decoder level — the r4 "0.9 T/s hog" reading was
+    a dispatch-floor artifact — so "direct" is the default; the 2.5D
+    slicewise / octant-matmul / Pallas-interleave alternatives remain
+    selectable for A/Bs.  Param tree identical to nn.ConvTranspose
+    (kernel/bias, f32) — all modes exact (k==s taps don't overlap),
+    checkpoints flag-agnostic."""
     features: int
     strides: Sequence[int]
     dtype: jnp.dtype = jnp.float32

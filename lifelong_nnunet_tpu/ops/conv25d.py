@@ -311,15 +311,12 @@ def conv_transpose3d_slicewise(x: jax.Array, w: jax.Array,
     """kernel==stride ConvTranspose (the U-Net decoder upsample) via
     per-D-tap batched 2D transposed convs + a contiguous D-interleave.
 
-    XLA lowers the 3D conv_transpose at decoder scale through its dilated-
-    conv path at ~0.9 T/s (results/r4/stage_scan_upT.log: 42.9 ms chained
-    at b4 64^3 C64->32 — the single most expensive op in the CT forward),
-    and the matmul+depth-to-space alternative pays the same 40 ms in the
-    W/C minor-dim interleave.  This splits along D instead: one 2D
-    conv_transpose per D-tap at batch N*D (free reshape), then a stack
-    along a new D-minor axis — which concatenates CONTIGUOUS (H'*W'*Co)
-    blocks (~1 MB at CT scale), the one interleave direction the TPU
-    layout does at HBM speed.
+    HISTORY: written against r4 one-shot timings that put the direct
+    conv_transpose at ~0.9 T/s — later shown to be the relay's
+    per-dispatch floor, not the op.  Clean chained numbers
+    (results/r5/upt_probe2.log) put direct at 7.8 ms vs 9.7 ms for this
+    route at b4 64^3 C64->32, so the DIRECT path is the default
+    (LNN_UPT_MODE); this stays as a selectable exact alternative.
 
     Matches ``lax.conv_transpose(x, w, stride, "VALID", NDHWC)`` exactly
     (k==s means taps don't overlap; tap order verified by test).
@@ -348,18 +345,21 @@ def conv_transpose3d_matmul(x: jax.Array, w: jax.Array,
                             stride: Sequence[int]) -> jax.Array:
     """k==s=2 ConvTranspose as 4 octant-pair matmuls with a FREE W-merge.
 
-    Every materialized interleave of the 2x-upsampled tensor measured at
-    the TPU relayout wall (~16-38 GB/s, 128-byte runs —
-    results/r4/stage_scan_upT.log).  The W-axis interleave is the only one
-    that can be made literally free: with output channels ordered (k, c),
-    ``(..., W, k*c) -> (..., 2W, c)`` is the identity permutation of linear
-    memory.  So: one matmul per (i, j) D/H-tap pair emitting (k, c)
-    channel groups (free W-merge each), then an H-stack whose sources are
-    contiguous (2W*c) runs (~16 KB at CT scale) and a D-stack with
-    (2H*2W*c) runs (~4 MB) — no transposes anywhere.
+    The W-axis interleave is the only one that can be made literally free:
+    with output channels ordered (k, c), ``(..., W, k*c) -> (..., 2W, c)``
+    is the identity permutation of linear memory.  So: one matmul per
+    (i, j) D/H-tap pair emitting (k, c) channel groups (free W-merge
+    each), then an H-stack of contiguous (2W*c) runs and a D-stack of
+    (2H*2W*c) runs.
 
-    Exact for k==s (taps never overlap).  Gradient is 4 matmul transposes
-    + slice adjoints (autodiff).
+    Round-5 verdict (results/r5/upt_probe2.log, chained): the 4 skinny
+    K=Cin matmuls alone cost 5.6 ms at b4 64^3 C64->32 — more than the
+    direct conv_transpose's whole 7.8 ms can be beaten by — so this stays
+    a selectable alternative (LNN_UPT_MODE=matmul), not the default.
+
+    Exact for k==s (taps never overlap; lax.conv_transpose flips all
+    spatial taps — delta-probe verified).  Gradient is 4 matmul
+    transposes + slice adjoints (autodiff).
     """
     N, D, H, W, Ci = x.shape
     kd, kh, kw, ci, Co = w.shape
